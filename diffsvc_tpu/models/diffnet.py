@@ -1,0 +1,144 @@
+"""DiffNet — the non-causal WaveNet denoiser, TPU-native.
+
+Architecture parity with reference ``network/diff/net.py:58-135``:
+1x1 input projection -> ReLU -> ``residual_layers`` gated residual blocks
+(dilated conv k=3, dilation 2^(i % dilation_cycle_length), FiLM-style
+diffusion-step add and 1x1 conditioner add) -> skip-sum/sqrt(L) -> 1x1 ->
+ReLU -> zero-init 1x1 output projection.
+
+TPU design: channels-last [B, T, C]; every 1x1 conv is a lane-dim matmul on
+the MXU; the gated dilated convs are left to XLA fusion (a fused Pallas
+residual-block kernel is an optional fast path in ``ops/pallas``).
+The layer stack is grouped into dilation cycles and run with ``jax.lax.scan``
+over the cycles so the compiled graph stays small at any depth.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import nn
+
+
+class DiffNetConfig(NamedTuple):
+    in_dims: int = 80           # mel bins
+    encoder_hidden: int = 256   # hidden_size
+    residual_layers: int = 20
+    residual_channels: int = 256
+    dilation_cycle_length: int = 4
+
+    @classmethod
+    def from_hparams(cls, hp):
+        return cls(
+            in_dims=hp["audio_num_mel_bins"],
+            encoder_hidden=hp["hidden_size"],
+            residual_layers=hp["residual_layers"],
+            residual_channels=hp["residual_channels"],
+            dilation_cycle_length=hp["dilation_cycle_length"],
+        )
+
+
+def init(key, cfg: DiffNetConfig):
+    c, h, m = cfg.residual_channels, cfg.encoder_hidden, cfg.in_dims
+    n_layers = cfg.residual_layers
+    keys = jax.random.split(key, 6 + 4 * n_layers)
+
+    layers = []
+    for i in range(n_layers):
+        k0, k1, k2, k3 = keys[6 + 4 * i : 10 + 4 * i]
+        layers.append({
+            "dilated_conv": nn.init_conv1d(k0, 3, c, 2 * c, init="kaiming_normal"),
+            "diffusion_projection": nn.init_linear(k1, c, c),
+            "conditioner_projection": nn.init_conv1d(k2, 1, h, 2 * c, init="kaiming_normal"),
+            "output_projection": nn.init_conv1d(k3, 1, c, 2 * c, init="kaiming_normal"),
+        })
+    # Stack per-cycle so lax.scan can iterate cycles of the dilation pattern.
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    return {
+        "input_projection": nn.init_conv1d(keys[0], 1, m, c, init="kaiming_normal"),
+        "mlp": {
+            "w1": nn.init_linear(keys[1], c, c * 4),
+            "w2": nn.init_linear(keys[2], c * 4, c),
+        },
+        "layers": stacked,
+        "skip_projection": nn.init_conv1d(keys[3], 1, c, c, init="kaiming_normal"),
+        "output_projection": nn.init_conv1d(keys[4], 1, c, m, init="zero"),
+    }
+
+
+def _residual_block(p, x, cond_proj, step_emb, dilation: int):
+    """One gated residual block. x: [B, T, C]; cond_proj: [B, T, 2C]
+    (pre-projected); step_emb: [B, C]. Returns (x', skip)."""
+    y = x + step_emb[:, None, :]
+    y = nn.conv1d(p["dilated_conv"], y, dilation=dilation) + cond_proj
+    gate, filt = jnp.split(y, 2, axis=-1)
+    y = jax.nn.sigmoid(gate) * jnp.tanh(filt)
+    y = nn.conv1d(p["output_projection"], y)
+    residual, skip = jnp.split(y, 2, axis=-1)
+    return (x + residual) * (1.0 / math.sqrt(2.0)), skip
+
+
+def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond):
+    """Predict noise.
+
+    :param spec: [B, T, M] noisy mel (channels-last; callers using the
+        reference's [B, 1, M, T] should transpose first)
+    :param diffusion_step: [B] int timestep
+    :param cond: [B, T, H] conditioner
+    :return: [B, T, M] noise prediction
+    """
+    c = cfg.residual_channels
+    cycle = cfg.dilation_cycle_length
+    n_layers = cfg.residual_layers
+    assert n_layers % cycle == 0, "residual_layers must be a multiple of dilation_cycle_length"
+    n_cycles = n_layers // cycle
+
+    x = nn.conv1d(params["input_projection"], spec)
+    x = jax.nn.relu(x)
+
+    step = nn.sinusoidal_pos_emb(diffusion_step, c)
+    step = nn.linear(params["mlp"]["w1"], step)
+    step = nn.mish(step)
+    step = nn.linear(params["mlp"]["w2"], step)  # [B, C]
+
+    # Pre-compute all conditioner projections in one batched matmul:
+    # [L, 1, H, 2C] kernels applied to cond [B, T, H] -> [L, B, T, 2C].
+    cond_w = params["layers"]["conditioner_projection"]["w"][:, 0]  # [L, H, 2C]
+    cond_b = params["layers"]["conditioner_projection"]["b"]        # [L, 2C]
+    cond_proj = jnp.einsum("bth,lhc->lbtc", cond, cond_w) + cond_b[:, None, None, :]
+
+    # Reshape stacked layer params into [n_cycles, cycle, ...] and scan cycles.
+    def _regroup(a):
+        return a.reshape((n_cycles, cycle) + a.shape[1:])
+
+    lp = jax.tree.map(_regroup, {
+        "dilated_conv": params["layers"]["dilated_conv"],
+        "diffusion_projection": params["layers"]["diffusion_projection"],
+        "output_projection": params["layers"]["output_projection"],
+    })
+    cond_proj_g = cond_proj.reshape((n_cycles, cycle) + cond_proj.shape[1:])
+
+    def cycle_body(x, inp):
+        lpc, cpc = inp
+        skips = []
+        for j in range(cycle):
+            pj = jax.tree.map(lambda a: a[j], lpc)
+            step_j = nn.linear(pj["diffusion_projection"], step)
+            x, skip = _residual_block(
+                {"dilated_conv": pj["dilated_conv"],
+                 "output_projection": pj["output_projection"]},
+                x, cpc[j], step_j, dilation=2**j)
+            skips.append(skip)
+        return x, jnp.stack(skips).sum(0)
+
+    x, skip_sums = jax.lax.scan(cycle_body, x, (lp, cond_proj_g))
+    x = skip_sums.sum(0) * (1.0 / math.sqrt(n_layers))
+    x = nn.conv1d(params["skip_projection"], x)
+    x = jax.nn.relu(x)
+    x = nn.conv1d(params["output_projection"], x)
+    return x

@@ -1,0 +1,299 @@
+"""Gaussian diffusion (DDPM + PLMS/PNDM) over normalized mel spectrograms.
+
+Parity target: reference ``network/diff/diffusion.py`` — the β schedules,
+the 12 derived tables, q_sample/p_losses, the DDPM posterior sampler and the
+PLMS sampler with its 1/2/3/4-step Adams–Bashforth ladder.
+
+TPU-native design: both samplers are a single ``jax.lax.scan`` whose body
+calls the denoiser once (the PLMS warm-up step that needs a second call is a
+``lax.switch`` branch taken only on the first iteration). The reference's
+Python deque of past noises becomes a fixed [3, ...] ring buffer in the scan
+carry. Mel layout is channels-last [B, T, M] throughout.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import diffnet, fs2
+
+
+def linear_beta_schedule(timesteps: int, max_beta: float = 0.01) -> np.ndarray:
+    return np.linspace(1e-4, max_beta, timesteps)
+
+
+def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
+    steps = timesteps + 1
+    x = np.linspace(0, steps, steps)
+    alphas_cumprod = np.cos(((x / steps) + s) / (1 + s) * np.pi * 0.5) ** 2
+    alphas_cumprod = alphas_cumprod / alphas_cumprod[0]
+    betas = 1 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
+    return np.clip(betas, 0, 0.999)
+
+
+beta_schedule = {"cosine": cosine_beta_schedule, "linear": linear_beta_schedule}
+
+
+class DiffusionConfig(NamedTuple):
+    timesteps: int = 1000
+    K_step: int = 1000
+    loss_type: str = "l2"
+    schedule_type: str = "linear"
+    max_beta: float = 0.02
+    keep_bins: int = 80
+    pndm_speedup: int = 0
+
+    @classmethod
+    def from_hparams(cls, hp):
+        return cls(
+            timesteps=int(hp.get("timesteps", 1000)),
+            K_step=int(hp.get("K_step", 1000)),
+            loss_type=hp.get("diff_loss_type", "l1"),
+            schedule_type=hp.get("schedule_type", "cosine"),
+            max_beta=float(hp.get("max_beta", 0.01)),
+            keep_bins=int(hp.get("keep_bins", hp.get("audio_num_mel_bins", 80))),
+            pndm_speedup=int(hp.get("pndm_speedup", 0) or 0),
+        )
+
+
+def make_tables(cfg: DiffusionConfig) -> dict:
+    """The 12 derived schedule tables (pure function of config; float32).
+
+    Mirrors reference ``diffusion.py:100-123`` — these are *not* checkpoint
+    state, they are recomputed (so converted reference checkpoints skip them).
+    """
+    if cfg.schedule_type == "linear":
+        betas = linear_beta_schedule(cfg.timesteps, cfg.max_beta)
+    else:
+        betas = cosine_beta_schedule(cfg.timesteps)
+    alphas = 1.0 - betas
+    alphas_cumprod = np.cumprod(alphas, axis=0)
+    alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
+    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+    t = {
+        "betas": betas,
+        "alphas_cumprod": alphas_cumprod,
+        "alphas_cumprod_prev": alphas_cumprod_prev,
+        "sqrt_alphas_cumprod": np.sqrt(alphas_cumprod),
+        "sqrt_one_minus_alphas_cumprod": np.sqrt(1.0 - alphas_cumprod),
+        "log_one_minus_alphas_cumprod": np.log(1.0 - alphas_cumprod),
+        "sqrt_recip_alphas_cumprod": np.sqrt(1.0 / alphas_cumprod),
+        "sqrt_recipm1_alphas_cumprod": np.sqrt(1.0 / alphas_cumprod - 1),
+        "posterior_variance": posterior_variance,
+        "posterior_log_variance_clipped": np.log(np.maximum(posterior_variance, 1e-20)),
+        "posterior_mean_coef1": betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod),
+        "posterior_mean_coef2": (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod),
+    }
+    return {k: jnp.asarray(v, dtype=jnp.float32) for k, v in t.items()}
+
+
+def _extract(table, t, ndim):
+    """table[t] broadcast to an ndim-tensor shape ([B] -> [B, 1, 1, ...])."""
+    out = table[t]
+    return out.reshape(out.shape + (1,) * (ndim - 1))
+
+
+def norm_spec(x, spec_min, spec_max):
+    return (x - spec_min) / (spec_max - spec_min) * 2.0 - 1.0
+
+
+def denorm_spec(x, spec_min, spec_max):
+    return (x + 1.0) / 2.0 * (spec_max - spec_min) + spec_min
+
+
+def q_sample(tables, x_start, t, noise):
+    return (_extract(tables["sqrt_alphas_cumprod"], t, x_start.ndim) * x_start
+            + _extract(tables["sqrt_one_minus_alphas_cumprod"], t, x_start.ndim) * noise)
+
+
+def p_losses(tables, denoise_fn, x_start, t, rng, loss_type: str = "l2",
+             nonpadding=None):
+    """Diffusion training loss. x_start: [B, T, M] normalized mel."""
+    noise = jax.random.normal(rng, x_start.shape, x_start.dtype)
+    x_noisy = q_sample(tables, x_start, t, noise)
+    x_recon = denoise_fn(x_noisy, t)
+    if loss_type == "l1":
+        if nonpadding is not None:
+            w = nonpadding[:, :, None]
+            loss = (jnp.abs(noise - x_recon) * w).mean()
+        else:
+            loss = jnp.abs(noise - x_recon).mean()
+    elif loss_type == "l2":
+        loss = jnp.mean((noise - x_recon) ** 2)
+    else:
+        raise NotImplementedError(loss_type)
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# Samplers — each one lax.scan
+# ---------------------------------------------------------------------------
+
+def p_sample_ddpm_scan(tables, denoise_fn, x, t_start: int, rng,
+                       clip_denoised: bool = True):
+    """Ancestral DDPM sampling from t_start-1 down to 0."""
+
+    def body(carry, t):
+        x, rng = carry
+        rng, nkey = jax.random.split(rng)
+        tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        noise_pred = denoise_fn(x, tb)
+        x_recon = (_extract(tables["sqrt_recip_alphas_cumprod"], tb, x.ndim) * x
+                   - _extract(tables["sqrt_recipm1_alphas_cumprod"], tb, x.ndim) * noise_pred)
+        if clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        mean = (_extract(tables["posterior_mean_coef1"], tb, x.ndim) * x_recon
+                + _extract(tables["posterior_mean_coef2"], tb, x.ndim) * x)
+        log_var = _extract(tables["posterior_log_variance_clipped"], tb, x.ndim)
+        noise = jax.random.normal(nkey, x.shape, x.dtype)
+        nonzero = (t > 0).astype(x.dtype)
+        x = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+        return (x, rng), None
+
+    ts = jnp.arange(t_start - 1, -1, -1)
+    (x, _), _ = jax.lax.scan(body, (x, rng), ts)
+    return x
+
+
+def _plms_x_pred(tables, x, noise_t, t, interval: int):
+    """PLMS transfer function (reference diffusion.py:169-177)."""
+    ndim = x.ndim
+    a_t = _extract(tables["alphas_cumprod"], t, ndim)
+    t_prev = jnp.maximum(t - interval, 0)
+    a_prev = _extract(tables["alphas_cumprod"], t_prev, ndim)
+    a_t_sq, a_prev_sq = jnp.sqrt(a_t), jnp.sqrt(a_prev)
+    x_delta = (a_prev - a_t) * (
+        (1.0 / (a_t_sq * (a_t_sq + a_prev_sq))) * x
+        - 1.0 / (a_t_sq * (jnp.sqrt((1 - a_prev) * a_t) + jnp.sqrt((1 - a_t) * a_prev))) * noise_t)
+    return x + x_delta
+
+
+def p_sample_plms_scan(tables, denoise_fn, x, t_start: int, interval: int):
+    """PLMS/PNDM sampling: steps t_start-interval*k for k=... down to 0.
+
+    The noise ring buffer holds the last 3 predictions; the Adams–Bashforth
+    order ramps 1->4 over the first steps exactly like the reference deque.
+    """
+    n_steps = max(t_start // interval, 1)
+    ts = (jnp.arange(n_steps - 1, -1, -1) * interval).astype(jnp.int32)
+
+    def body(carry, t):
+        x, buf, count = carry  # buf: [3, B, T, M], newest at index 0
+        tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        noise_pred = denoise_fn(x, tb)
+
+        def order1(_):
+            x_pred = _plms_x_pred(tables, x, noise_pred, tb, interval)
+            tb_prev = jnp.maximum(tb - interval, 0)
+            noise_pred_prev = denoise_fn(x_pred, tb_prev)
+            return (noise_pred + noise_pred_prev) / 2.0
+
+        def order2(_):
+            return (3.0 * noise_pred - buf[0]) / 2.0
+
+        def order3(_):
+            return (23.0 * noise_pred - 16.0 * buf[0] + 5.0 * buf[1]) / 12.0
+
+        def order4(_):
+            return (55.0 * noise_pred - 59.0 * buf[0] + 37.0 * buf[1]
+                    - 9.0 * buf[2]) / 24.0
+
+        noise_prime = jax.lax.switch(
+            jnp.minimum(count, 3), [order1, order2, order3, order4], None)
+        x = _plms_x_pred(tables, x, noise_prime, tb, interval)
+        buf = jnp.concatenate([noise_pred[None], buf[:2]], axis=0)
+        return (x, buf, count + 1), None
+
+    buf0 = jnp.zeros((3,) + x.shape, x.dtype)
+    (x, _, _), _ = jax.lax.scan(body, (x, buf0, jnp.int32(0)), ts)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Full model: conditioner + denoiser + samplers
+# ---------------------------------------------------------------------------
+
+class GaussianDiffusion:
+    """Bundles configs/tables and exposes pure train/infer functions.
+
+    Holds no mutable state; ``params`` pytrees are passed explicitly.
+    """
+
+    def __init__(self, hp):
+        self.hp = hp
+        self.cfg = DiffusionConfig.from_hparams(hp)
+        self.fs2_cfg = fs2.FS2Config.from_hparams(hp)
+        self.net_cfg = diffnet.DiffNetConfig.from_hparams(hp)
+        self.tables = make_tables(self.cfg)
+        self.mel_bins = self.net_cfg.in_dims
+        spec_min = np.asarray(hp.get("spec_min", [-6.0]), np.float32)
+        spec_max = np.asarray(hp.get("spec_max", [1.5]), np.float32)
+        if spec_min.size == 1:
+            spec_min = np.full((self.mel_bins,), spec_min.item(), np.float32)
+        if spec_max.size == 1:
+            spec_max = np.full((self.mel_bins,), spec_max.item(), np.float32)
+        self.spec_min = jnp.asarray(spec_min[: self.cfg.keep_bins])
+        self.spec_max = jnp.asarray(spec_max[: self.cfg.keep_bins])
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"fs2": fs2.init(k1, self.fs2_cfg),
+                "denoise_fn": diffnet.init(k2, self.net_cfg)}
+
+    def _denoise_closure(self, params, cond):
+        def fn(x, t):
+            return diffnet.apply(params["denoise_fn"], self.net_cfg, x, t, cond)
+        return fn
+
+    def training_loss(self, params, batch, rng):
+        """batch: dict with hubert, mel2ph, f0, uv, energy, mels [B,T,M]."""
+        ret = fs2.apply(params["fs2"], self.fs2_cfg, batch["hubert"],
+                        batch["mel2ph"], batch["f0"], batch.get("uv"),
+                        batch.get("energy"), batch.get("spk_embed"))
+        cond = ret["decoder_inp"]
+        t_rng, n_rng = jax.random.split(rng)
+        b = cond.shape[0]
+        t = jax.random.randint(t_rng, (b,), 0, self.cfg.K_step)
+        x_start = norm_spec(batch["mels"], self.spec_min, self.spec_max)
+        nonpadding = (batch["mel2ph"] > 0).astype(x_start.dtype)
+        loss = p_losses(self.tables, self._denoise_closure(params, cond),
+                        x_start, t, n_rng, self.cfg.loss_type, nonpadding)
+        return loss, ret
+
+    def infer(self, params, batch, rng, *, speedup: Optional[int] = None,
+              use_gt_mel: bool = False, add_noise_step: int = 500):
+        """Full sampling; returns dict with 'mel_out' [B, T, M] and
+        'f0_denorm'."""
+        ret = fs2.apply(params["fs2"], self.fs2_cfg, batch["hubert"],
+                        batch["mel2ph"], batch["f0"], batch.get("uv"),
+                        batch.get("energy"), batch.get("spk_embed"))
+        cond = ret["decoder_inp"]
+        b, t_mel, _ = cond.shape
+        denoise_fn = self._denoise_closure(params, cond)
+        noise_rng, samp_rng = jax.random.split(rng)
+
+        if use_gt_mel:
+            t_start = int(add_noise_step)
+            x0 = norm_spec(batch["mels"], self.spec_min, self.spec_max)
+            tvec = jnp.full((b,), t_start - 1, dtype=jnp.int32)
+            x = q_sample(self.tables, x0, tvec,
+                         jax.random.normal(noise_rng, x0.shape, x0.dtype))
+        else:
+            t_start = self.cfg.K_step
+            x = jax.random.normal(noise_rng, (b, t_mel, self.mel_bins))
+
+        speedup = self.cfg.pndm_speedup if speedup is None else speedup
+        if speedup and speedup > 1:
+            x = p_sample_plms_scan(self.tables, denoise_fn, x, t_start, int(speedup))
+        else:
+            x = p_sample_ddpm_scan(self.tables, denoise_fn, x, t_start, samp_rng)
+
+        mel_out = denorm_spec(x, self.spec_min, self.spec_max)
+        if batch.get("mel2ph") is not None:
+            mel_out = mel_out * (batch["mel2ph"] > 0).astype(mel_out.dtype)[:, :, None]
+        ret["mel_out"] = mel_out
+        return ret
