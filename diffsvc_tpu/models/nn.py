@@ -115,10 +115,11 @@ def conv1d(p, x, *, dilation: int = 1, stride: int = 1, padding="SAME",
 def init_conv_transpose1d(key, k: int, c_in: int, c_out: int, stride: int,
                           bias: bool = True):
     wk, bk = jax.random.split(key)
-    # stored HIO [k, out, in] transposed-conv convention: we keep [k, in, out]
+    # Stored [k, c_out, c_in]: the forward-conv (HIO) layout that
+    # lax.conv_transpose(transpose_kernel=True) expects.
     fan_in = c_in * k
     bound = 1.0 / math.sqrt(fan_in)
-    p = {"w": jax.random.uniform(wk, (k, c_in, c_out), minval=-bound, maxval=bound)}
+    p = {"w": jax.random.uniform(wk, (k, c_out, c_in), minval=-bound, maxval=bound)}
     if bias:
         p["b"] = jax.random.uniform(bk, (c_out,), minval=-bound, maxval=bound)
     return p

@@ -1,0 +1,203 @@
+"""HiFi-GAN v1 generator (+ NSF harmonic source), functional JAX.
+
+Parity targets:
+- ``modules/hifigan/hifigan.py:104-178`` (24 kHz generator, optional NSF
+  source when ``use_pitch_embed``),
+- ``modules/nsf_hifigan/models.py:148-396`` (openvpi 44.1 kHz NSF-HiFiGAN:
+  SineGen cumsum-phase harmonic source, per-upsample-stage source injection).
+
+Weight-norm is folded at conversion time, so parameters here are plain
+kernels. Layout is channels-last [B, T, C]; the transposed-conv upsample
+stack and dilated resblocks compile to MXU-tiled convolutions under XLA.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import nn
+
+LRELU_SLOPE = 0.1
+
+
+class HifiGanConfig(NamedTuple):
+    num_mels: int = 80
+    upsample_initial_channel: int = 512
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    resblock: str = "1"
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    sampling_rate: int = 24000
+    use_nsf: bool = False          # harmonic source injection
+    harmonic_num: int = 8
+
+    @classmethod
+    def from_dict(cls, h: dict, use_nsf: bool = False):
+        return cls(
+            num_mels=int(h.get("num_mels", h.get("audio_num_mel_bins", 80))),
+            upsample_initial_channel=int(h["upsample_initial_channel"]),
+            upsample_rates=tuple(h["upsample_rates"]),
+            upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+            resblock=str(h.get("resblock", "1")),
+            resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tuple(tuple(d) for d in h["resblock_dilation_sizes"]),
+            sampling_rate=int(h.get("sampling_rate", h.get("audio_sample_rate", 24000))),
+            use_nsf=use_nsf,
+        )
+
+
+# ---------------------------------------------------------------------------
+# NSF source
+# ---------------------------------------------------------------------------
+
+def sine_gen(rng, f0_up: jnp.ndarray, sr: int, harmonic_num: int = 8,
+             sine_amp: float = 0.1, noise_std: float = 0.003,
+             voiced_threshold: float = 0.0):
+    """Harmonic sine source from sample-rate f0 [B, L].
+
+    Returns (sine_waves [B, L, H+1], uv [B, L, 1]). Phase is the cumulative
+    sum of per-sample instantaneous frequency with the reference's mod-1
+    overflow correction (models.py:183-213).
+    """
+    h = harmonic_num + 1
+    f0 = f0_up[:, :, None] * (jnp.arange(1, h + 1, dtype=f0_up.dtype)[None, None, :])
+    rad = (f0 / sr) % 1.0
+
+    k1, k2 = jax.random.split(rng)
+    rand_ini = jax.random.uniform(k1, (f0.shape[0], h), dtype=f0.dtype)
+    rand_ini = rand_ini.at[:, 0].set(0.0)
+    rad = rad.at[:, 0, :].add(rand_ini)
+
+    tmp_over_one = jnp.cumsum(rad, axis=1) % 1.0
+    wrap = (tmp_over_one[:, 1:, :] - tmp_over_one[:, :-1, :]) < 0
+    shift = jnp.concatenate(
+        [jnp.zeros_like(rad[:, :1, :]), jnp.where(wrap, -1.0, 0.0)], axis=1)
+    phase = jnp.cumsum(rad + shift, axis=1)
+    sines = jnp.sin(2.0 * jnp.pi * phase) * sine_amp
+
+    uv = (f0_up[:, :, None] > voiced_threshold).astype(f0.dtype)
+    noise_amp = uv * noise_std + (1.0 - uv) * sine_amp / 3.0
+    noise = noise_amp * jax.random.normal(k2, sines.shape, sines.dtype)
+    sines = sines * uv + noise
+    return sines, uv
+
+
+def init_source_module(key, harmonic_num: int = 8):
+    return {"l_linear": nn.init_linear(key, harmonic_num + 1, 1)}
+
+
+def source_module(p, rng, f0_up, sr: int, harmonic_num: int = 8):
+    """SourceModuleHnNSF: merge harmonics -> tanh(linear) [B, L, 1]."""
+    sines, uv = sine_gen(rng, f0_up, sr, harmonic_num)
+    return jnp.tanh(nn.linear(p["l_linear"], sines)), uv
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """torch.nn.Upsample(scale_factor=f) default 'nearest' on [B, T]."""
+    return jnp.repeat(x, factor, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+def init(key, cfg: HifiGanConfig):
+    keys = iter(jax.random.split(key, 256))
+    c0 = cfg.upsample_initial_channel
+    params = {"conv_pre": nn.init_conv1d(next(keys), 7, cfg.num_mels, c0)}
+    ups, noise_convs, resblocks = [], [], []
+    ch = c0
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        c_cur = c0 // (2 ** (i + 1))
+        ups.append(nn.init_conv_transpose1d(next(keys), k, ch, c_cur, u))
+        if cfg.use_nsf:
+            if i + 1 < len(cfg.upsample_rates):
+                stride_f0 = int(np.prod(cfg.upsample_rates[i + 1:]))
+                noise_convs.append(nn.init_conv1d(next(keys), stride_f0 * 2, 1, c_cur))
+            else:
+                noise_convs.append(nn.init_conv1d(next(keys), 1, 1, c_cur))
+        blocks_i = []
+        for k_rb, d_rb in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            if cfg.resblock == "1":
+                blocks_i.append({
+                    "convs1": [nn.init_conv1d(next(keys), k_rb, c_cur, c_cur) for _ in d_rb],
+                    "convs2": [nn.init_conv1d(next(keys), k_rb, c_cur, c_cur) for _ in d_rb],
+                })
+            else:
+                blocks_i.append({
+                    "convs": [nn.init_conv1d(next(keys), k_rb, c_cur, c_cur) for _ in d_rb],
+                })
+        resblocks.append(blocks_i)
+        ch = c_cur
+    params["ups"] = ups
+    params["resblocks"] = resblocks
+    if cfg.use_nsf:
+        params["noise_convs"] = noise_convs
+        params["m_source"] = init_source_module(next(keys))
+    params["conv_post"] = nn.init_conv1d(next(keys), 7, ch, 1)
+    return params
+
+
+def _resblock1(p, x, kernel: int, dilations: Sequence[int]):
+    for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
+        xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        xt = nn.conv1d(c1, xt, dilation=d, padding=(kernel * d - d) // 2)
+        xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+        xt = nn.conv1d(c2, xt, dilation=1, padding=(kernel - 1) // 2)
+        x = xt + x
+    return x
+
+
+def _resblock2(p, x, kernel: int, dilations: Sequence[int]):
+    for c, d in zip(p["convs"], dilations):
+        xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        xt = nn.conv1d(c, xt, dilation=d, padding=(kernel * d - d) // 2)
+        x = xt + x
+    return x
+
+
+def apply(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None, rng=None):
+    """mel [B, T, M] (natural-log domain for NSF weights, matching how the
+    wrappers feed it), f0 [B, T] in Hz. Returns wav [B, T*prod(rates)]."""
+    total_up = int(np.prod(cfg.upsample_rates))
+    har_source = None
+    if cfg.use_nsf and f0 is not None:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        f0_up = upsample_nearest(f0, total_up)
+        har_source, _ = source_module(params["m_source"], rng, f0_up,
+                                      cfg.sampling_rate, cfg.harmonic_num)
+
+    x = nn.conv1d(params["conv_pre"], mel, padding=3)
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = nn.conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
+        if har_source is not None:
+            ncp = params["noise_convs"][i]
+            k_nc = ncp["w"].shape[0]
+            if k_nc == 1:
+                x_source = nn.conv1d(ncp, har_source)
+            else:
+                stride_f0 = k_nc // 2
+                x_source = nn.conv1d(ncp, har_source, stride=stride_f0,
+                                     padding=stride_f0 // 2)
+            x = x + x_source[:, : x.shape[1]]
+        xs = 0.0
+        for j, (k_rb, d_rb) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                             cfg.resblock_dilation_sizes)):
+            blk = params["resblocks"][i][j]
+            if cfg.resblock == "1":
+                xs = xs + _resblock1(blk, x, k_rb, d_rb)
+            else:
+                xs = xs + _resblock2(blk, x, k_rb, d_rb)
+        x = xs / n_kernels
+    x = jax.nn.leaky_relu(x)
+    x = nn.conv1d(params["conv_post"], x, padding=3)
+    return jnp.tanh(x)[:, :, 0]
