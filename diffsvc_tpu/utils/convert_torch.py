@@ -46,7 +46,10 @@ def fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             base = k[: -len("weight_v")]
             g = _to_np(sd[base + "weight_g"]).astype(np.float64)
             vv = _to_np(v).astype(np.float64)
-            norm = np.sqrt((vv**2).sum(axis=tuple(range(1, vv.ndim)), keepdims=True))
+            # the norm runs over every axis where g is broadcast (size 1),
+            # which covers both dim=0 (standard) and dim=2 (hubert pos-conv)
+            axes = tuple(i for i in range(vv.ndim) if i >= g.ndim or g.shape[i] == 1)
+            norm = np.sqrt((vv**2).sum(axis=axes, keepdims=True))
             out[base + "weight"] = (g * vv / np.maximum(norm, 1e-12)).astype(np.float32)
         else:
             out[k] = _to_np(v)
