@@ -111,19 +111,30 @@ def q_sample(tables, x_start, t, noise):
 
 
 def p_losses(tables, denoise_fn, x_start, t, rng, loss_type: str = "l2",
-             nonpadding=None):
-    """Diffusion training loss. x_start: [B, T, M] normalized mel."""
+             nonpadding=None, sample_mask=None):
+    """Diffusion training loss. x_start: [B, T, M] normalized mel.
+
+    ``sample_mask`` [B] marks real rows when the batch axis was padded up to
+    the data-parallel multiple; reference numerics are untouched when absent.
+    """
     noise = jax.random.normal(rng, x_start.shape, x_start.dtype)
     x_noisy = q_sample(tables, x_start, t, noise)
     x_recon = denoise_fn(x_noisy, t)
     if loss_type == "l1":
         if nonpadding is not None:
             w = nonpadding[:, :, None]
+            if sample_mask is not None:
+                w = w * sample_mask[:, None, None]
             loss = (jnp.abs(noise - x_recon) * w).mean()
         else:
             loss = jnp.abs(noise - x_recon).mean()
     elif loss_type == "l2":
-        loss = jnp.mean((noise - x_recon) ** 2)
+        sq = (noise - x_recon) ** 2
+        if sample_mask is not None:
+            per_row = sq.mean(axis=(1, 2))
+            loss = (per_row * sample_mask).sum() / jnp.maximum(sample_mask.sum(), 1.0)
+        else:
+            loss = jnp.mean(sq)
     else:
         raise NotImplementedError(loss_type)
     return loss
@@ -261,7 +272,8 @@ class GaussianDiffusion:
         x_start = norm_spec(batch["mels"], self.spec_min, self.spec_max)
         nonpadding = (batch["mel2ph"] > 0).astype(x_start.dtype)
         loss = p_losses(self.tables, self._denoise_closure(params, cond),
-                        x_start, t, n_rng, self.cfg.loss_type, nonpadding)
+                        x_start, t, n_rng, self.cfg.loss_type, nonpadding,
+                        sample_mask=batch.get("sample_mask"))
         return loss, ret
 
     def infer(self, params, batch, rng, *, speedup: Optional[int] = None,

@@ -1,0 +1,145 @@
+"""SVC training task: model + optimizer + jitted train/val steps.
+
+Parity targets: reference ``training/task/SVC_task.py`` (GaussianDiffusion
+with the wavenet decoder, AdamW betas (0.9, 0.98), StepLR halving every
+``decay_steps``, diffusion loss as the 'mel' loss, validation that runs full
+sampling for the first ``num_valid_plots`` batches) on top of the trainer
+semantics of ``utils/pl_utils.py``.
+
+TPU design: one jitted ``train_step`` over a ``Mesh(('data',))`` — batch
+sharded, params/opt-state replicated, gradient mean = global batch mean
+(XLA inserts the ICI all-reduce). Gradient accumulation via
+``optax.MultiSteps``; clip-by-global-norm inside the chain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.hparams import HParams
+from ..models.diffusion import GaussianDiffusion
+from ..parallel import mesh as mesh_lib
+from .scheduler import build_lr_schedule
+
+
+class SVCTask:
+    def __init__(self, hp: HParams, mesh=None):
+        self.hp = hp
+        self.model = GaussianDiffusion(hp)
+        self.mesh = mesh
+        self.lr_schedule = build_lr_schedule(hp)
+        self.accumulate = int(hp.get("accumulate_grad_batches", 1) or 1)
+        self.tx = self._build_optimizer()
+        self._train_step = None
+        self._val_step = None
+
+    # ------------------------------------------------------------------
+    def _build_optimizer(self):
+        hp = self.hp
+        tx = optax.chain(
+            optax.clip_by_global_norm(float(hp.get("clip_grad_norm", 1) or 1e9)),
+            optax.adamw(
+                self.lr_schedule,
+                b1=float(hp.get("optimizer_adam_beta1", 0.9)),
+                b2=float(hp.get("optimizer_adam_beta2", 0.98)),
+                weight_decay=float(hp.get("weight_decay", 0) or 0.0),
+            ),
+        )
+        if self.accumulate > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate)
+        return tx
+
+    def init_state(self, seed: Optional[int] = None) -> Dict:
+        seed = seed if seed is not None else self.hp.get("seed", 1234)
+        params = self.model.init_params(jax.random.PRNGKey(seed))
+        return {"params": params, "opt_state": self.tx.init(params),
+                "step": jnp.zeros((), jnp.int32)}
+
+    def load_params_into_state(self, state: Dict, params) -> Dict:
+        state = dict(state)
+        state["params"] = jax.tree.map(jnp.asarray, params)
+        return state
+
+    # ------------------------------------------------------------------
+    def _make_train_step(self):
+        model = self.model
+        tx = self.tx
+        lr_schedule = self.lr_schedule
+        accumulate = self.accumulate
+
+        def train_step(state, batch, rng):
+            rng = jax.random.fold_in(rng, state["step"])
+
+            def loss_fn(params):
+                loss, _ = model.training_loss(params, batch, rng)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            new_state = {"params": params, "opt_state": opt_state,
+                         "step": state["step"] + 1}
+            metrics = {
+                "loss": loss,
+                "mel": loss,  # the diffusion loss is the 'mel' loss
+                "lr": lr_schedule(state["step"] // accumulate),
+                "grad_norm": optax.global_norm(grads),
+            }
+            return new_state, metrics
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+            return jax.jit(
+                train_step,
+                in_shardings=(repl, data, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def train_step(self, state, batch, rng):
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        jb = self.prepare_batch(batch)
+        return self._train_step(state, jb, rng)
+
+    # ------------------------------------------------------------------
+    def _make_val_step(self):
+        model = self.model
+
+        def val_step(params, batch, rng):
+            loss, _ = model.training_loss(params, batch, rng)
+            return loss
+
+        return jax.jit(val_step)
+
+    def val_step(self, params, batch, rng):
+        if self._val_step is None:
+            self._val_step = self._make_val_step()
+        # eval batches are small (max_eval_sentences) — run replicated
+        return self._val_step(params, self.prepare_batch(batch, shard=False), rng)
+
+    def sample(self, params, batch, rng, speedup: Optional[int] = None):
+        """Full sampling for validation plots (not jit-cached across shapes)."""
+        jb = self.prepare_batch(batch, shard=False)
+        return self.model.infer(params, jb, rng, speedup=speedup
+                                or self.hp.get("pndm_speedup", 10) or 10)
+
+    # ------------------------------------------------------------------
+    def prepare_batch(self, batch: Dict, shard: bool = True) -> Dict:
+        keys = ("hubert", "mels", "mel2ph", "energy", "f0", "uv", "sample_mask")
+        jb = {k: batch[k] for k in keys if batch.get(k) is not None}
+        if self.hp.get("use_spk_id") and "spk_ids" in batch:
+            jb["spk_embed"] = batch["spk_ids"]
+        if shard and self.mesh is not None:
+            jb = mesh_lib.shard_batch(self.mesh, jb)
+        return jb

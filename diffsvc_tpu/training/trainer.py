@@ -1,0 +1,183 @@
+"""Training loop: step-based validation/checkpoint cadence, auto-resume,
+TensorBoard logging, hard stop at max_updates.
+
+Parity targets (reference ``utils/pl_utils.py`` semantics, SURVEY.md §2.2):
+- validation every ``val_check_interval`` *global steps*; sanity-val
+  ``num_sanity_val_steps`` batches before training,
+- checkpoint at each validation; keep-K rotation, best tracking,
+- auto-resume from the highest ``model_ckpt_steps_*.ckpt`` in the work dir,
+- hard exit when ``global_step > max_updates``,
+- TensorBoard scalars prefixed ``tr/`` and ``val/``; ``log_interval`` cadence,
+- the resolved config is re-dumped to ``work_dir/config.yaml`` at train start.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config.hparams import HParams, save_hparams
+from ..data.dataset import BatchIterator, FastSpeechDataset, build_batches
+from ..parallel import mesh as mesh_lib
+from . import checkpoint as ckpt_lib
+from .task import SVCTask
+
+
+class Trainer:
+    def __init__(self, hp: HParams, use_mesh: bool = True,
+                 log_writer=None):
+        self.hp = hp
+        self.work_dir = hp["work_dir"]
+        os.makedirs(self.work_dir, exist_ok=True)
+        save_hparams(hp, self.work_dir)
+
+        n_dev = len(jax.devices())
+        self.mesh = mesh_lib.make_mesh(("data",)) if (use_mesh and n_dev > 1) else None
+        self.world = mesh_lib.data_parallel_world_size(self.mesh)
+        self.task = SVCTask(hp, mesh=self.mesh)
+
+        self.global_step = 0
+        self.epoch = 0
+        self.best = None
+        self.writer = log_writer or self._build_writer()
+        self.rng = jax.random.PRNGKey(hp.get("seed", 1234))
+
+    def _build_writer(self):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(
+                log_dir=os.path.join(self.work_dir, "lightning_logs", "lastest"))
+        except Exception:
+            return None
+
+    def _log(self, prefix: str, metrics: Dict, step: int):
+        if self.writer is None:
+            return
+        for k, v in metrics.items():
+            try:
+                self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------------
+    def fit(self, max_steps: Optional[int] = None):
+        hp = self.hp
+        state = self.task.init_state()
+
+        restored = ckpt_lib.restore_checkpoint(self.work_dir)
+        if restored is not None:
+            st, self.epoch, self.global_step, self.best = restored
+            state = jax.tree.map(lambda x: x, st)
+            state["step"] = np.asarray(self.global_step, np.int32)
+        elif hp.get("load_ckpt"):
+            params = ckpt_lib.load_params_for_infer(hp["load_ckpt"])
+            state = self.task.load_params_into_state(state, params)
+            print(f"| warm-started from {hp['load_ckpt']}")
+
+        train_ds = FastSpeechDataset("train", hp, shuffle=True)
+        valid_ds = FastSpeechDataset("valid", hp, shuffle=False)
+        max_updates = int(max_steps or hp.get("max_updates", 1_000_000))
+        val_check_interval = int(hp.get("val_check_interval", 2000))
+        log_interval = int(hp.get("log_interval", 100))
+        pad_multiple = int(hp.get("frames_multiple", 128))
+
+        # sanity validation (pl_utils.py:557-571)
+        for i, batch in enumerate(self._val_batches(valid_ds, pad_multiple)):
+            if i >= int(hp.get("num_sanity_val_steps", 1)):
+                break
+            self.task.val_step(state["params"], batch, self.rng)
+        print("| sanity validation ok")
+
+        t_start = time.time()
+        seen = 0
+        while self.epoch < int(hp.get("max_epochs", 1000)):
+            rng_np = np.random.RandomState(hp.get("seed", 1234) + self.epoch)
+            batches = build_batches(train_ds, hp, num_replicas=self.world, rng=rng_np)
+            it = BatchIterator(train_ds, batches, pad_multiple=pad_multiple)
+            for batch in it:
+                # pad the batch axis up to the data-parallel multiple (no-op
+                # size-wise when divisible); sample_mask keeps the loss exact
+                # and the jit batch-structure stable
+                from ..data.dataset import _pad_batch_dim
+
+                n = -(-batch["nsamples"] // self.world) * self.world
+                batch = _pad_batch_dim(batch, n)
+                state, metrics = self.task.train_step(state, batch, self.rng)
+                self.global_step += 1
+                seen += 1
+                if self.global_step % log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    self._log("tr", m, self.global_step)
+                    rate = seen / max(time.time() - t_start, 1e-9)
+                    print(f"| step {self.global_step} loss {m['loss']:.4f} "
+                          f"lr {m['lr']:.2e} ({rate:.2f} it/s)")
+                if self.global_step % val_check_interval == 0:
+                    val_loss = self.validate(state, valid_ds, pad_multiple)
+                    ckpt_lib.save_checkpoint(
+                        self.work_dir, state, self.epoch, self.global_step,
+                        best=self.best,
+                        num_ckpt_keep=int(self.hp.get("num_ckpt_keep", 10)),
+                        save_best=bool(self.hp.get("save_best", False)),
+                        monitor_value=val_loss)
+                if self.global_step >= max_updates:
+                    print("| TRAINING FINISHED: reached max_updates")
+                    self.validate(state, valid_ds, pad_multiple)
+                    ckpt_lib.save_checkpoint(
+                        self.work_dir, state, self.epoch, self.global_step,
+                        best=self.best,
+                        num_ckpt_keep=int(self.hp.get("num_ckpt_keep", 10)))
+                    return state
+            self.epoch += 1
+        return state
+
+    # ------------------------------------------------------------------
+    def _val_batches(self, valid_ds, pad_multiple):
+        hp = self.hp
+        idxs = list(range(len(valid_ds)))
+        from ..data.batching import batch_by_size
+
+        batches = batch_by_size(
+            idxs, valid_ds.num_tokens,
+            max_tokens=hp.get("max_eval_tokens", 60000) or 60000,
+            max_sentences=hp.get("max_eval_sentences", 1) or 1)
+        return BatchIterator(valid_ds, batches, pad_multiple=pad_multiple)
+
+    def validate(self, state, valid_ds, pad_multiple: int = 128) -> float:
+        losses = []
+        num_plots = int(self.hp.get("num_valid_plots", 10))
+        for i, batch in enumerate(self._val_batches(valid_ds, pad_multiple)):
+            loss = self.task.val_step(state["params"], batch, self.rng)
+            losses.append(float(loss))
+            if i < num_plots:
+                self._plot_validation(state, batch, i)
+        val_loss = float(np.mean(losses)) if losses else float("nan")
+        self._log("val", {"loss": val_loss, "mel": val_loss}, self.global_step)
+        print(f"| val step {self.global_step}: loss {val_loss:.4f}")
+        return val_loss
+
+    def _plot_validation(self, state, batch, idx: int):
+        """Full sampling + audio/mel logging (SVC_task.py:127-160,212-221)."""
+        if self.writer is None:
+            return
+        try:
+            out = self.task.sample(state["params"], batch, self.rng)
+            mel_pred = np.asarray(out["mel_out"][0])
+            mel_gt = np.asarray(batch["mels"][0])
+            from ..utils.plot import spec_to_figure
+
+            self.writer.add_figure(f"mel_{idx}", spec_to_figure(mel_pred, mel_gt),
+                                   self.global_step)
+            vocoder = getattr(self, "vocoder", None)
+            if vocoder is not None:
+                f0 = np.asarray(out["f0_denorm"][0])
+                wav = vocoder.spec2wav(mel_pred, f0=f0)
+                self.writer.add_audio(f"wav_{idx}", wav[None, :], self.global_step,
+                                      self.hp["audio_sample_rate"])
+        except Exception as e:
+            print(f"| plot_validation skipped: {e}")
