@@ -1,0 +1,165 @@
+"""Benchmark harness: end-to-end 44.1 kHz SVC real-time factor on one chip.
+
+Runs the full inference pipeline with random weights at production dims
+(feature extraction: mel + AC-f0 + HuBERT; 1000-step diffusion with PLMS
+speedup 20 -> 50 denoiser NFEs at 384ch x 20 layers; NSF-HiFiGAN vocoder at
+openvpi dims) over 10 s of 44.1 kHz audio.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value is the end-to-end RTF and vs_baseline = target_rtf / measured_rtf
+(>1 = beating the BASELINE.md target of 0.05).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffsvc_tpu.config import HParams
+    from diffsvc_tpu.models import hubert as hubert_model
+    from diffsvc_tpu.models.diffusion import GaussianDiffusion
+    from diffsvc_tpu.ops import mel as mel_ops
+    from diffsvc_tpu.ops.f0_ac import get_pitch_ac
+    from diffsvc_tpu.ops.pitch import norm_interp_f0_np
+    from diffsvc_tpu.data.features import get_align_uniform
+    from diffsvc_tpu.utils.audio_io import resample
+    from diffsvc_tpu.vocoders import generator as gen
+
+    dev = jax.devices()[0]
+    log(f"| device: {dev}")
+
+    SR = 44100
+    SECS = 10.0
+    HOP, NFFT, NMEL = 512, 2048, 128
+    SPEEDUP = 20
+
+    hp = HParams(
+        audio_sample_rate=SR, audio_num_mel_bins=NMEL, fft_size=NFFT,
+        hop_size=HOP, win_size=NFFT, fmin=40, fmax=16000,
+        hidden_size=256, residual_layers=20, residual_channels=384,
+        dilation_cycle_length=4, timesteps=1000, K_step=1000,
+        diff_loss_type="l2", schedule_type="linear", max_beta=0.02,
+        keep_bins=NMEL, spec_min=[-5.0], spec_max=[0.0], no_fs2=True,
+        use_pitch_embed=True, use_energy_embed=False, use_spk_id=False,
+        use_spk_embed=False, use_uv=False, pitch_norm="log", f0_bin=256,
+        f0_min=40.0, f0_max=1100.0, pndm_speedup=SPEEDUP,
+    )
+
+    # synthetic vocal-like input
+    t = np.arange(int(SR * SECS)) / SR
+    f0_curve = 220.0 * (1 + 0.03 * np.sin(2 * np.pi * 5.5 * t))
+    phase = np.cumsum(2 * np.pi * f0_curve / SR)
+    wav = (0.35 * np.sin(phase) + 0.18 * np.sin(2 * phase)
+           + 0.08 * np.sin(3 * phase)).astype(np.float32)
+
+    # models (random weights, production dims)
+    model = GaussianDiffusion(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    hub_cfg = hubert_model.HubertConfig()
+    hub_params = hubert_model.init(jax.random.PRNGKey(1), hub_cfg)
+    voc_cfg = gen.HifiGanConfig(
+        num_mels=NMEL, upsample_initial_channel=512,
+        upsample_rates=(8, 8, 2, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4, 4),
+        resblock="1", resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilation_sizes=((1, 3, 5),) * 3, sampling_rate=SR,
+        use_nsf=True)
+    voc_params = gen.init(jax.random.PRNGKey(2), voc_cfg)
+
+    infer_fn = jax.jit(lambda p, b, r: model.infer(p, b, r, speedup=SPEEDUP))
+    voc_fn = jax.jit(lambda p, m, f0, r: gen.apply(p, voc_cfg, m, f0, r))
+    hub_fn = lambda w: hubert_model.units(hub_params, hub_cfg, w)
+
+    def pipeline():
+        # --- feature extraction ---
+        t0 = time.time()
+        mel = mel_ops.wav2mel_nsf(
+            jnp.asarray(wav), sr=SR, n_fft=NFFT, hop=HOP, win_length=NFFT,
+            n_mels=NMEL, fmin=40.0, fmax=16000.0)
+        mel.block_until_ready()
+        t_mel = time.time() - t0
+
+        t0 = time.time()
+        f0, _ = get_pitch_ac(wav, mel.shape[0], hp)
+        t_f0 = time.time() - t0
+
+        t0 = time.time()
+        wav16 = resample(wav, SR, 16000)
+        units = hub_fn(jnp.asarray(wav16)[None])
+        units.block_until_ready()
+        t_hub = time.time() - t0
+
+        # --- condition assembly ---
+        t0 = time.time()
+        T = mel.shape[0]
+        pad_T = -(-T // 128) * 128
+        mel2ph = np.zeros((1, pad_T), np.int32)
+        mel2ph[0, :T] = get_align_uniform(T, units.shape[1])
+        f0n, uv = norm_interp_f0_np(f0)
+        f0b = np.zeros((1, pad_T), np.float32)
+        f0b[0, :T] = f0n
+        uvb = np.zeros((1, pad_T), np.float32)
+        uvb[0, :T] = uv
+        melb = np.full((1, pad_T, NMEL), 0.0, np.float32)
+        melb[0, :T] = np.asarray(mel)
+        batch = {"hubert": jnp.asarray(units), "mel2ph": jnp.asarray(mel2ph),
+                 "f0": jnp.asarray(f0b), "uv": jnp.asarray(uvb),
+                 "mels": jnp.asarray(melb)}
+        t_cond = time.time() - t0
+
+        # --- diffusion denoise loop ---
+        t0 = time.time()
+        out = infer_fn(params, batch, jax.random.PRNGKey(3))
+        out["mel_out"].block_until_ready()
+        t_diff = time.time() - t0
+
+        # --- vocoder ---
+        t0 = time.time()
+        mel_pred = out["mel_out"][:, :T, :] * mel_ops.LN_10
+        f0_voc = jnp.asarray(f0[None, :T])
+        wav_out = voc_fn(voc_params, mel_pred, f0_voc, jax.random.PRNGKey(4))
+        wav_out.block_until_ready()
+        t_voc = time.time() - t0
+
+        return dict(mel=t_mel, f0=t_f0, hubert=t_hub, cond=t_cond,
+                    diffusion=t_diff, vocoder=t_voc, T=T)
+
+    log("| warmup (compile)...")
+    tw = time.time()
+    stats = pipeline()
+    log(f"| warmup done in {time.time() - tw:.1f}s: "
+        + " ".join(f"{k}={v:.3f}s" for k, v in stats.items() if k != "T"))
+
+    runs = []
+    for i in range(3):
+        s = pipeline()
+        total = sum(v for k, v in s.items() if k != "T")
+        runs.append((total, s))
+        log(f"| run{i}: total={total:.3f}s "
+            + " ".join(f"{k}={v:.3f}" for k, v in s.items() if k != "T"))
+
+    best_total, best = min(runs, key=lambda x: x[0])
+    rtf = best_total / SECS
+    frames_per_sec = best["T"] * (hp["K_step"] // SPEEDUP) / best["diffusion"]
+    log(f"| denoise mel-frames/sec (x{hp['K_step'] // SPEEDUP} NFE): {frames_per_sec:.0f}")
+    log(f"| end-to-end RTF: {rtf:.4f} (target < 0.05)")
+
+    print(json.dumps({
+        "metric": "e2e_rtf_44k1_10s_acc20",
+        "value": round(rtf, 5),
+        "unit": "rtf",
+        "vs_baseline": round(0.05 / rtf, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -238,7 +238,16 @@ class GaussianDiffusion:
         self.hp = hp
         self.cfg = DiffusionConfig.from_hparams(hp)
         self.fs2_cfg = fs2.FS2Config.from_hparams(hp)
-        self.net_cfg = diffnet.DiffNetConfig.from_hparams(hp)
+        # DIFF_DECODERS (reference SVC_task.py:19-23): wavenet | fft
+        self.decoder_type = hp.get("diff_decoder_type", "wavenet")
+        if self.decoder_type == "fft":
+            from . import candidate_decoder
+
+            self._dec = candidate_decoder
+            self.net_cfg = candidate_decoder.FFTDecoderConfig.from_hparams(hp)
+        else:
+            self._dec = diffnet
+            self.net_cfg = diffnet.DiffNetConfig.from_hparams(hp)
         self.tables = make_tables(self.cfg)
         self.mel_bins = self.net_cfg.in_dims
         spec_min = np.asarray(hp.get("spec_min", [-6.0]), np.float32)
@@ -253,11 +262,11 @@ class GaussianDiffusion:
     def init_params(self, key):
         k1, k2 = jax.random.split(key)
         return {"fs2": fs2.init(k1, self.fs2_cfg),
-                "denoise_fn": diffnet.init(k2, self.net_cfg)}
+                "denoise_fn": self._dec.init(k2, self.net_cfg)}
 
     def _denoise_closure(self, params, cond):
         def fn(x, t):
-            return diffnet.apply(params["denoise_fn"], self.net_cfg, x, t, cond)
+            return self._dec.apply(params["denoise_fn"], self.net_cfg, x, t, cond)
         return fn
 
     def training_loss(self, params, batch, rng):

@@ -37,7 +37,7 @@ CONV_SPECS = [  # (kernel, stride)
 
 
 def init(key, cfg: HubertConfig = HubertConfig()):
-    keys = iter(jax.random.split(key, 64))
+    keys = iter(jax.random.split(key, 256))
     fe = {"conv0": nn.init_conv1d(next(keys), 10, 1, 512, bias=False),
           "norm0": nn.init_group_norm(512, 512)}
     for i in range(1, 7):

@@ -28,9 +28,18 @@ from . import checkpoint as ckpt_lib
 from .task import SVCTask
 
 
+def resolve_task_cls(name: str):
+    """Map reference task_cls strings onto framework tasks."""
+    if "pe" in name.lower() and "PitchExtraction" in name:
+        from .pe_task import PitchExtractionTask
+
+        return PitchExtractionTask
+    return SVCTask
+
+
 class Trainer:
     def __init__(self, hp: HParams, use_mesh: bool = True,
-                 log_writer=None):
+                 log_writer=None, task_cls=None):
         self.hp = hp
         self.work_dir = hp["work_dir"]
         os.makedirs(self.work_dir, exist_ok=True)
@@ -39,7 +48,8 @@ class Trainer:
         n_dev = len(jax.devices())
         self.mesh = mesh_lib.make_mesh(("data",)) if (use_mesh and n_dev > 1) else None
         self.world = mesh_lib.data_parallel_world_size(self.mesh)
-        self.task = SVCTask(hp, mesh=self.mesh)
+        task_cls = task_cls or resolve_task_cls(hp.get("task_cls", ""))
+        self.task = task_cls(hp, mesh=self.mesh)
 
         self.global_step = 0
         self.epoch = 0

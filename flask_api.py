@@ -1,0 +1,107 @@
+"""Realtime voice-change HTTP service for the DAW/VST plugin.
+
+Parity target: reference ``flask_api.py`` — POST ``/voiceChangeModel``
+(multipart ``sample`` wav + ``fPitchChange`` + ``sampleRate``), inference
+without crepe & pe, resample to the DAW rate, return a wav. Port 6842.
+
+Implemented on the stdlib http.server (flask is not a framework dependency);
+a flask app factory is provided for environments that have it.
+"""
+
+import argparse
+import cgi
+import io
+import re
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+from scipy.io import wavfile
+
+from diffsvc_tpu.infer.svc import Svc
+from diffsvc_tpu.utils.audio_io import resample
+
+
+def _infer_wav(model, acc, wav_bytes: bytes, f_pitch_change: float,
+               daw_sample: int) -> bytes:
+    input_wav = io.BytesIO(wav_bytes)
+    _f0_tst, _f0_pred, _audio = model.infer(
+        input_wav, key=f_pitch_change, acc=acc, use_pe=False, use_crepe=False)
+    tar = resample(np.asarray(_audio, np.float32),
+                   model.hp["audio_sample_rate"], daw_sample)
+    out = io.BytesIO()
+    wavfile.write(out, daw_sample, (np.clip(tar, -1, 1) * 32767).astype(np.int16))
+    return out.getvalue()
+
+
+def make_handler(model, accelerate):
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/voiceChangeModel":
+                self.send_error(404)
+                return
+            ctype = self.headers.get("Content-Type", "")
+            if "multipart/form-data" not in ctype:
+                self.send_error(400, "expected multipart/form-data")
+                return
+            form = cgi.FieldStorage(
+                fp=self.rfile, headers=self.headers,
+                environ={"REQUEST_METHOD": "POST",
+                         "CONTENT_TYPE": ctype})
+            wav_bytes = form["sample"].file.read()
+            f_pitch_change = float(form.getvalue("fPitchChange", 0))
+            daw_sample = int(float(form.getvalue("sampleRate", 44100)))
+            try:
+                body = _infer_wav(model, accelerate, wav_bytes,
+                                  f_pitch_change, daw_sample)
+            except Exception as e:  # pragma: no cover
+                self.send_error(500, str(e))
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Disposition",
+                             'attachment; filename="temp.wav"')
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            pass
+
+    return Handler
+
+
+def make_flask_app(model, accelerate):  # pragma: no cover - optional dep
+    from flask import Flask, request, send_file
+
+    app = Flask(__name__)
+
+    @app.route("/voiceChangeModel", methods=["POST"])
+    def voice_change_model():
+        wave_file = request.files.get("sample", None)
+        f_pitch_change = float(request.form.get("fPitchChange", 0))
+        daw_sample = int(float(request.form.get("sampleRate", 0)))
+        body = _infer_wav(model, accelerate, wave_file.read(),
+                          f_pitch_change, daw_sample)
+        return send_file(io.BytesIO(body), download_name="temp.wav",
+                         as_attachment=True)
+
+    return app
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--project", required=True)
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--acc", type=int, default=50)
+    ap.add_argument("--port", type=int, default=6842)
+    args = ap.parse_args()
+
+    model_path = args.model or f"./checkpoints/{args.project}/"
+    config_path = args.config or f"./checkpoints/{args.project}/config.yaml"
+    model = Svc(args.project, config_path, True, model_path)
+
+    server = HTTPServer(("0.0.0.0", args.port), make_handler(model, args.acc))
+    print(f"| serving /voiceChangeModel on :{args.port}")
+    server.serve_forever()
