@@ -1,0 +1,121 @@
+"""Model export — the TPU-native analogue of the reference ONNX export.
+
+The reference (``onnx_export.py`` + ``modules/diff/diffusion_V2.py``) splits
+the model into encoder / denoiser / pred / after ONNX graphs for deployment.
+Here each stage is exported as a serialized StableHLO artifact via
+``jax.export`` — portable to any XLA runtime (TPU/GPU/CPU, IREE, PJRT
+plugins) and reloadable with ``jax.export.deserialize``:
+
+- ``encoder``:   (hubert, mel2ph, f0, uv, energy) -> cond
+- ``denoiser``:  (x_t, t, cond) -> noise prediction (one PLMS/DDPM step body)
+- ``sampler``:   (cond, noise) -> mel (full scan-PLMS loop, fixed speedup)
+- ``vocoder``:   (mel, f0) -> waveform
+
+Shapes are fixed per export (bucketed lengths), matching the reference's
+fixed-shape ONNX graphs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _export_fn(fn, args, path: str):
+    from jax import export as jexport
+
+    exp = jexport.export(jax.jit(fn))(*args)
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    return path
+
+
+def load_exported(path: str):
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        return jexport.deserialize(f.read()).call
+
+
+class SvcExporter:
+    """Mirror of the reference SvcOnnx surface: wraps a converted diffusion
+    checkpoint and writes per-stage artifacts."""
+
+    def __init__(self, hp, params, vocoder=None):
+        from ..models.diffusion import GaussianDiffusion
+
+        self.hp = hp
+        self.model = GaussianDiffusion(hp)
+        self.params = params
+        self.vocoder = vocoder
+
+    def export(self, out_dir: str, t_mel: int = 1024, t_ph: int = 512,
+               batch: int = 1, speedup: Optional[int] = None) -> Dict[str, str]:
+        os.makedirs(out_dir, exist_ok=True)
+        hp = self.hp
+        h = hp["hidden_size"]
+        m = hp["audio_num_mel_bins"]
+        speedup = int(speedup or hp.get("pndm_speedup", 10) or 10)
+        model, params = self.model, self.params
+
+        hubert = jnp.zeros((batch, t_ph, h), jnp.float32)
+        mel2ph = jnp.ones((batch, t_mel), jnp.int32)
+        f0 = jnp.zeros((batch, t_mel), jnp.float32)
+        uv = jnp.zeros((batch, t_mel), jnp.float32)
+        energy = jnp.zeros((batch, t_mel), jnp.float32)
+        x = jnp.zeros((batch, t_mel, m), jnp.float32)
+        t = jnp.zeros((batch,), jnp.int32)
+        cond = jnp.zeros((batch, t_mel, h), jnp.float32)
+
+        from ..models import fs2
+
+        def encoder_fn(hubert, mel2ph, f0, uv, energy):
+            ret = fs2.apply(params["fs2"], model.fs2_cfg, hubert, mel2ph,
+                            f0, uv, energy)
+            return ret["decoder_inp"], ret["f0_denorm"]
+
+        def denoiser_fn(x, t, cond):
+            return model._dec.apply(params["denoise_fn"], model.net_cfg, x, t, cond)
+
+        def sampler_fn(cond, noise):
+            from ..models.diffusion import denorm_spec, p_sample_plms_scan
+
+            def dn(x, tb):
+                return model._dec.apply(params["denoise_fn"], model.net_cfg,
+                                        x, tb, cond)
+
+            x = p_sample_plms_scan(model.tables, dn, noise, model.cfg.K_step,
+                                   speedup)
+            return denorm_spec(x, model.spec_min, model.spec_max)
+
+        paths = {
+            "encoder": _export_fn(encoder_fn, (hubert, mel2ph, f0, uv, energy),
+                                  os.path.join(out_dir, "encoder.stablehlo")),
+            "denoiser": _export_fn(denoiser_fn, (x, t, cond),
+                                   os.path.join(out_dir, "denoiser.stablehlo")),
+            "sampler": _export_fn(sampler_fn, (cond, x),
+                                  os.path.join(out_dir, "sampler.stablehlo")),
+        }
+        if self.vocoder is not None and hasattr(self.vocoder, "params"):
+            from ..vocoders import generator as gen
+
+            voc = self.vocoder
+
+            def vocoder_fn(mel, f0v):
+                return gen.apply(voc.params, voc.cfg, mel, f0v,
+                                 jax.random.PRNGKey(0))
+
+            paths["vocoder"] = _export_fn(
+                vocoder_fn, (x, f0), os.path.join(out_dir, "vocoder.stablehlo"))
+
+        meta = {"t_mel": t_mel, "t_ph": t_ph, "batch": batch,
+                "speedup": speedup, "mel_bins": m, "hidden": h,
+                "sample_rate": hp["audio_sample_rate"]}
+        with open(os.path.join(out_dir, "export_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return paths

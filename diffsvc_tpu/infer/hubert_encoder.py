@@ -26,11 +26,19 @@ class Hubertencoder:
         self.hp = hp or {}
         self.cfg = hubert_model.HubertConfig()
         self.params = None
-        if self.hp.get("use_vec"):
-            raise NotImplementedError(
-                "ContentVec checkpoints require the fairseq converter "
-                "(diffsvc_tpu.models.contentvec); place "
-                "checkpoint_best_legacy_500.pt and use use_vec with it.")
+        self.use_vec = bool(self.hp.get("use_vec"))
+        if self.use_vec:
+            from ..models import contentvec
+
+            vec_path = self.hp.get(
+                "vec_path", "checkpoints/vec/checkpoint_best_legacy_500.pt")
+            self._vec = contentvec
+            if os.path.exists(vec_path):
+                self.params = contentvec.load(vec_path, self.cfg)
+                print(f"| Loaded ContentVec from {vec_path}")
+            else:
+                print(f"| WARNING: no ContentVec checkpoint at {vec_path}")
+            return
         candidates = []
         p = Path(pt_path)
         if p.is_file():
@@ -58,6 +66,9 @@ class Hubertencoder:
         else:
             wav16k, _ = load_wav(wav_path, sr=16000)
         if self.params is None:
-            raise FileNotFoundError("HuBERT checkpoint not loaded")
-        units = hubert_model.units(self.params, self.cfg, jnp.asarray(wav16k)[None])
+            raise FileNotFoundError("HuBERT/ContentVec checkpoint not loaded")
+        if self.use_vec:
+            units = self._vec.units(self.params, self.cfg, jnp.asarray(wav16k)[None])
+        else:
+            units = hubert_model.units(self.params, self.cfg, jnp.asarray(wav16k)[None])
         return np.asarray(units[0])

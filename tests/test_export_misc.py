@@ -1,0 +1,125 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsvc_tpu.config import HParams
+
+
+def _tiny_hp():
+    return HParams(
+        audio_num_mel_bins=8, hidden_size=16, residual_layers=4,
+        residual_channels=16, dilation_cycle_length=4, timesteps=20,
+        K_step=20, diff_loss_type="l2", schedule_type="linear", max_beta=0.02,
+        keep_bins=8, spec_min=[-6.0], spec_max=[1.5], no_fs2=True,
+        use_pitch_embed=True, use_energy_embed=False, use_uv=False,
+        pitch_norm="log", f0_bin=256, f0_min=50.0, f0_max=1100.0,
+        pndm_speedup=5, audio_sample_rate=8000,
+    )
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    from diffsvc_tpu.infer.export import SvcExporter, load_exported
+    from diffsvc_tpu.models.diffusion import GaussianDiffusion
+
+    hp = _tiny_hp()
+    model = GaussianDiffusion(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    exporter = SvcExporter(hp, params)
+    paths = exporter.export(str(tmp_path), t_mel=32, t_ph=16)
+    assert set(paths) == {"encoder", "denoiser", "sampler"}
+
+    # reload the denoiser artifact and check it matches direct execution
+    den = load_exported(paths["denoiser"])
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 8), jnp.float32)
+    t = jnp.array([3], jnp.int32)
+    cond = jnp.asarray(np.random.RandomState(1).randn(1, 32, 16), jnp.float32)
+    got = den(x, t, cond)
+    expect = model._dec.apply(params["denoise_fn"], model.net_cfg, x, t, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-6)
+
+    # sampler artifact runs end to end
+    samp = load_exported(paths["sampler"])
+    noise = jnp.asarray(np.random.RandomState(2).randn(1, 32, 8), jnp.float32)
+    mel = samp(cond, noise)
+    assert mel.shape == (1, 32, 8)
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_ssim_properties():
+    from diffsvc_tpu.ops.ssim import ssim
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(2, 32, 16), jnp.float32)
+    # identical images -> ssim 1
+    np.testing.assert_allclose(float(ssim(a, a)), 1.0, atol=1e-4)
+    # uncorrelated noise -> much lower
+    b = jnp.asarray(rng.rand(2, 32, 16), jnp.float32)
+    assert float(ssim(a, b)) < 0.5
+
+
+def test_mel_losses_parse_spec():
+    from diffsvc_tpu.training.losses import mel_losses
+
+    rng = np.random.RandomState(0)
+    tgt = jnp.asarray(rng.rand(1, 16, 8), jnp.float32)
+    out = mel_losses(tgt, tgt, "ssim:0.5|l1:0.5")
+    assert set(out) == {"ssim", "l1"}
+    assert float(out["l1"]) == 0.0
+    assert float(out["ssim"]) < 1e-4
+
+
+def test_contentvec_converter_shapes():
+    """Build a fairseq-format state dict with tiny dims and check the
+    converter produces a working trunk with the layer-9 tap."""
+    import torch
+
+    from diffsvc_tpu.models import contentvec, hubert as hub
+
+    dim, ffn, heads, layers = 32, 64, 4, 10
+    g = torch.Generator().manual_seed(0)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    sd = {}
+    specs = [(10, 5), (3, 2), (3, 2), (3, 2), (3, 2), (2, 2), (2, 2)]
+    c_in = 1
+    for i, (k, s) in enumerate(specs):
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = r(512, c_in, k)
+        c_in = 512
+    sd["feature_extractor.conv_layers.0.2.weight"] = torch.ones(512)
+    sd["feature_extractor.conv_layers.0.2.bias"] = torch.zeros(512)
+    sd["layer_norm.weight"] = torch.ones(512)
+    sd["layer_norm.bias"] = torch.zeros(512)
+    sd["post_extract_proj.weight"] = r(dim, 512)
+    sd["post_extract_proj.bias"] = torch.zeros(dim)
+    sd["encoder.pos_conv.0.weight_g"] = torch.ones(1, 1, 128)
+    sd["encoder.pos_conv.0.weight_v"] = r(dim, dim // 16, 128)
+    sd["encoder.pos_conv.0.bias"] = torch.zeros(dim)
+    sd["encoder.layer_norm.weight"] = torch.ones(dim)
+    sd["encoder.layer_norm.bias"] = torch.zeros(dim)
+    for i in range(layers):
+        p = f"encoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{p}.self_attn.{proj}.weight"] = r(dim, dim)
+            sd[f"{p}.self_attn.{proj}.bias"] = torch.zeros(dim)
+        sd[f"{p}.self_attn_layer_norm.weight"] = torch.ones(dim)
+        sd[f"{p}.self_attn_layer_norm.bias"] = torch.zeros(dim)
+        sd[f"{p}.fc1.weight"] = r(ffn, dim)
+        sd[f"{p}.fc1.bias"] = torch.zeros(ffn)
+        sd[f"{p}.fc2.weight"] = r(dim, ffn)
+        sd[f"{p}.fc2.bias"] = torch.zeros(dim)
+        sd[f"{p}.final_layer_norm.weight"] = torch.ones(dim)
+        sd[f"{p}.final_layer_norm.bias"] = torch.zeros(dim)
+    sd["final_proj.weight"] = r(16, dim)
+    sd["final_proj.bias"] = torch.zeros(16)
+
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+    cfg = hub.HubertConfig(dim=dim, num_heads=heads, num_layers=layers,
+                           ffn_dim=ffn, proj_dim=16)
+    params = contentvec.convert_fairseq(sd_np, cfg)
+    wav = jnp.zeros((1, 16000 // 4))
+    u = contentvec.units(params, cfg, wav)
+    assert u.shape[0] == 1 and u.shape[2] == 16
+    assert np.isfinite(np.asarray(u)).all()
