@@ -148,11 +148,53 @@ def main():
             + " ".join(f"{k}={v:.3f}" for k, v in s.items() if k != "T"))
 
     best_total, best = min(runs, key=lambda x: x[0])
-    rtf = best_total / SECS
+    rtf_modular = best_total / SECS
     frames_per_sec = best["T"] * (hp["K_step"] // SPEEDUP) / best["diffusion"]
     log(f"| denoise mel-frames/sec (x{hp['K_step'] // SPEEDUP} NFE): {frames_per_sec:.0f}")
-    log(f"| end-to-end RTF: {rtf:.4f} (target < 0.05)")
+    log(f"| modular end-to-end RTF: {rtf_modular:.4f}")
 
+    # ---- fused single-dispatch graph (the serving path) ----
+    from types import SimpleNamespace
+
+    from diffsvc_tpu.infer.fused import FusedSvc
+
+    hp["vocoder"] = "nsf_hifigan"
+    voc = SimpleNamespace(params=voc_params, cfg=voc_cfg)
+    fused = FusedSvc(hp, params, voc, hubert_params=hub_params,
+                     hubert_cfg=hub_cfg, speedup=SPEEDUP)
+    log("| fused warmup (compile)...")
+    t0 = time.time()
+    out = fused(wav)
+    jax.block_until_ready(out)
+    log(f"| fused warmup {time.time() - t0:.1f}s")
+    fused_times = []
+    for i in range(3):
+        t0 = time.time()
+        out = fused(wav)
+        jax.block_until_ready(out)
+        fused_times.append(time.time() - t0)
+    rtf_fused = min(fused_times) / SECS
+    log(f"| fused RTF fp32: {rtf_fused:.4f} (runs: "
+        + " ".join(f"{t:.3f}" for t in fused_times) + ")")
+
+    # bf16 sampling + vocoder variant
+    hp["diff_compute_dtype"] = "bfloat16"
+    hp["voc_compute_dtype"] = "bfloat16"
+    fused_bf16 = FusedSvc(hp, params, voc, hubert_params=hub_params,
+                          hubert_cfg=hub_cfg, speedup=SPEEDUP)
+    out = fused_bf16(wav)
+    jax.block_until_ready(out)
+    bf16_times = []
+    for i in range(3):
+        t0 = time.time()
+        out = fused_bf16(wav)
+        jax.block_until_ready(out)
+        bf16_times.append(time.time() - t0)
+    rtf_bf16 = min(bf16_times) / SECS
+    log(f"| fused RTF bf16: {rtf_bf16:.4f}")
+
+    rtf = rtf_fused
+    log(f"| end-to-end RTF (fused fp32): {rtf:.4f} (target < 0.05)")
     print(json.dumps({
         "metric": "e2e_rtf_44k1_10s_acc20",
         "value": round(rtf, 5),

@@ -1,0 +1,206 @@
+"""Fully-fused single-dispatch inference graph.
+
+The modular path (Svc) runs mel / f0 / hubert / condition / diffusion /
+vocoder as separate jitted calls — each one a host->device round trip. For
+serving, this module compiles the ENTIRE post-slicing pipeline into ONE
+XLA program per length bucket:
+
+    (wav_44k, wav_16k, rng) -> (wav_out, f0, mel)
+
+On-device re-implementations of the host glue:
+- uniform mel2ph alignment as a searchsorted (no Python loop),
+- norm_interp_f0 as forward/backward-fill linear interpolation,
+- the AC pitch tracker's mel-grid padding with static sizes.
+
+Everything inherits static shapes from the length bucket, so XLA fuses
+feature extraction into the diffusion prologue and the vocoder epilogue.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import hubert as hubert_model
+from ..ops import f0_ac, mel as mel_ops
+from ..ops.pitch import norm_f0
+
+
+def align_uniform_device(mel_len: int, n_units: int):
+    """Vectorized get_align (reference process_pipeline.py:95-107):
+    frame f -> unit j+1 where j is the first unit whose span covers f."""
+    i = jnp.arange(n_units, dtype=jnp.float32)
+    ph_durs = mel_len / n_units
+    end_frame = jnp.floor(i * ph_durs + ph_durs + 0.5).astype(jnp.int32)
+    f = jnp.arange(mel_len, dtype=jnp.int32)
+    # frame f belongs to the smallest j with end_frame[j] + 1 >= f
+    j = jnp.searchsorted(end_frame + 1, f, side="left")
+    return jnp.clip(j + 1, 1, n_units)
+
+
+def norm_interp_f0_device(f0, pitch_norm: str = "log"):
+    """Device norm_interp_f0: log2 + linear interpolation over unvoiced.
+
+    Returns (f0_interp, uv) float32; all-unvoiced input -> zeros.
+    """
+    n = f0.shape[0]
+    uv = f0 == 0
+    voiced = ~uv
+    lf0 = jnp.where(voiced, norm_f0(jnp.where(voiced, f0, 1.0),
+                                    pitch_norm=pitch_norm), 0.0)
+    idx = jnp.arange(n)
+    # previous voiced index (or -1), next voiced index (or n)
+    prev_idx = jax.lax.associative_scan(jnp.maximum,
+                                        jnp.where(voiced, idx, -1))
+    next_rev = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(voiced[::-1], idx, -1))[::-1]
+    next_idx = n - 1 - next_rev
+    has_prev = prev_idx >= 0
+    has_next = next_idx <= n - 1
+
+    pv = lf0[jnp.clip(prev_idx, 0, n - 1)]
+    nv = lf0[jnp.clip(next_idx, 0, n - 1)]
+    span = jnp.maximum((next_idx - prev_idx).astype(jnp.float32), 1.0)
+    w = (idx - prev_idx).astype(jnp.float32) / span
+    interp = pv * (1 - w) + nv * w
+    interp = jnp.where(has_prev & has_next, interp,
+                       jnp.where(has_prev, pv, nv))
+    out = jnp.where(voiced, lf0, interp)
+    any_voiced = voiced.any()
+    out = jnp.where(any_voiced, out, jnp.zeros_like(out))
+    return out.astype(jnp.float32), uv.astype(jnp.float32)
+
+
+class FusedSvc:
+    """Builds and caches per-length fused inference programs."""
+
+    def __init__(self, hp, params, vocoder, hubert_params=None,
+                 hubert_cfg=None, speedup: int = 20,
+                 compute_dtype: Optional[str] = None):
+        from ..models.diffusion import GaussianDiffusion
+
+        self.hp = hp
+        self.model = GaussianDiffusion(hp)
+        self.params = params
+        self.vocoder = vocoder  # wrapper with .params/.cfg
+        self.hub_params = hubert_params
+        self.hub_cfg = hubert_cfg or hubert_model.HubertConfig()
+        self.speedup = int(speedup)
+        if compute_dtype:
+            hp["diff_compute_dtype"] = compute_dtype
+        self._fns = {}
+
+    # ------------------------------------------------------------------
+    def _build(self, n44: int, n16: int):
+        hp = self.hp
+        sr = hp["audio_sample_rate"]
+        hop = hp["hop_size"]
+        nfft = hp["fft_size"]
+        nmel = hp["audio_num_mel_bins"]
+        is_nsf = "nsf" in str(hp.get("vocoder", "")).lower()
+        model = self.model
+        voc = self.vocoder
+        speedup = self.speedup
+
+        # static geometry
+        if is_nsf:
+            t_mel = 1 + (n44 + 2 * ((nfft - hop) // 2) - nfft) // hop
+        else:
+            t_mel = 1 + n44 // hop
+        pad_t = -(-t_mel // 128) * 128
+        n_units = max((n16 + 2 * 40) // 320, 1)
+
+        # AC tracker static grid
+        f0_min = float(hp["f0_min"])
+        wl_s = f0_ac.PERIODS_PER_WINDOW / f0_min
+        win_samples = int(round(wl_s * sr))
+        n_frames, t1 = f0_ac._praat_frame_grid(n44, sr, hop / sr, wl_s)
+        start0 = int(round((t1 - wl_s / 2) * sr))
+        fftsz = int(2 ** np.ceil(np.log2(2 * win_samples)))
+        pad_size = (n44 // hop - n_frames + 1) // 2
+
+        def fused(wav44, wav16, rng):
+            # --- mel ---
+            if is_nsf:
+                mel = mel_ops.wav2mel_nsf(
+                    wav44, sr=sr, n_fft=nfft, hop=hop, win_length=hp["win_size"],
+                    n_mels=nmel, fmin=float(hp["fmin"]), fmax=float(hp["fmax"]))
+            else:
+                mel = mel_ops.wav2mel_pwg(
+                    wav44, sr=sr, n_fft=nfft, hop=hop, win_length=hp["win_size"],
+                    n_mels=nmel, fmin=float(hp["fmin"]), fmax=float(hp["fmax"]),
+                    eps=float(hp.get("wav2spec_eps", 1e-6)))
+            mel = mel[:t_mel]
+
+            # --- f0 (AC tracker) on the mel grid ---
+            f0_track = f0_ac._track.__wrapped__(
+                wav44, sr=sr, hop=hop, n_frames=n_frames,
+                win_samples=win_samples, fft_size=fftsz, start0=start0,
+                f0_min=f0_min, f0_max=float(hp["f0_max"]),
+                voicing_threshold=0.6, tsc=0.01 / (hop / sr))
+            f0_grid = jnp.zeros((t_mel,), jnp.float32)
+            src_start = max(-pad_size, 0)
+            dst_start = max(pad_size, 0)
+            copy_n = min(n_frames - src_start, t_mel - dst_start)
+            f0_grid = jax.lax.dynamic_update_slice(
+                f0_grid, jax.lax.dynamic_slice(
+                    f0_track, (src_start,), (copy_n,)), (dst_start,))
+
+            # --- hubert units ---
+            units = hubert_model.units.__wrapped__(
+                self.hub_params, self.hub_cfg, wav16[None])[0]
+
+            # --- condition assembly (padded to the bucket) ---
+            mel2ph = jnp.zeros((pad_t,), jnp.int32)
+            mel2ph = mel2ph.at[:t_mel].set(
+                align_uniform_device(t_mel, units.shape[0]))
+            f0n, uv = norm_interp_f0_device(f0_grid,
+                                            hp.get("pitch_norm", "log"))
+            f0b = jnp.zeros((pad_t,), jnp.float32).at[:t_mel].set(f0n)
+            uvb = jnp.zeros((pad_t,), jnp.float32).at[:t_mel].set(uv)
+            melb = jnp.zeros((pad_t, nmel), jnp.float32).at[:t_mel].set(mel)
+            energy = jnp.sqrt((jnp.exp(melb) ** 2).sum(-1))
+            batch = {"hubert": units[None], "mel2ph": mel2ph[None],
+                     "f0": f0b[None], "uv": uvb[None], "energy": energy[None],
+                     "mels": melb[None]}
+
+            # --- diffusion ---
+            out = model.infer(self.params, batch, rng, speedup=speedup)
+            mel_pred = out["mel_out"][:, :t_mel, :]
+            mel_pred = jnp.clip(mel_pred, hp.get("mel_vmin", -6.0),
+                                hp.get("mel_vmax", 1.5))
+
+            # --- vocoder ---
+            from ..vocoders import generator as gen
+
+            voc_in = mel_pred * (mel_ops.LN_10 if is_nsf else 1.0)
+            f0_voc = f0_grid[None, :t_mel]
+            dtype = jnp.bfloat16 if str(hp.get("voc_compute_dtype", "")) in (
+                "bf16", "bfloat16") else None
+            wav_out = gen.apply(voc.params, voc.cfg, voc_in, f0_voc,
+                                jax.random.fold_in(rng, 7), dtype=dtype)
+            return wav_out[0], f0_grid, mel_pred[0]
+
+        return jax.jit(fused)
+
+    def __call__(self, wav44: np.ndarray, rng=None):
+        from ..utils.audio_io import resample
+
+        hp = self.hp
+        bucket = int(hp.get("fused_bucket_samples", 0))
+        n44 = len(wav44)
+        if bucket:
+            n44 = -(-n44 // bucket) * bucket
+            wav44 = np.pad(wav44, (0, n44 - len(wav44)))
+        wav16 = resample(np.asarray(wav44, np.float32),
+                         hp["audio_sample_rate"], 16000)
+        key = (n44, len(wav16))
+        if key not in self._fns:
+            self._fns[key] = self._build(*key)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        return self._fns[key](jnp.asarray(wav44, jnp.float32),
+                              jnp.asarray(wav16), rng)

@@ -83,13 +83,26 @@ def _residual_block(p, x, cond_proj, step_emb, dilation: int):
     return (x + residual) * (1.0 / math.sqrt(2.0)), skip
 
 
-def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond):
+def prepare_cond(params, cond):
+    """Pre-project the conditioner through all layers' 1x1 convs in one
+    batched matmul: cond [B, T, H] -> [L, B, T, 2C].
+
+    The conditioner is constant across the whole sampling loop, so samplers
+    hoist this out of the scan (it is ~15% of the per-NFE FLOPs otherwise).
+    """
+    cond_w = params["layers"]["conditioner_projection"]["w"][:, 0]  # [L, H, 2C]
+    cond_b = params["layers"]["conditioner_projection"]["b"]        # [L, 2C]
+    return jnp.einsum("bth,lhc->lbtc", cond, cond_w) + cond_b[:, None, None, :]
+
+
+def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
+          cond_proj=None):
     """Predict noise.
 
     :param spec: [B, T, M] noisy mel (channels-last; callers using the
         reference's [B, 1, M, T] should transpose first)
     :param diffusion_step: [B] int timestep
-    :param cond: [B, T, H] conditioner
+    :param cond: [B, T, H] conditioner (or pass a precomputed ``cond_proj``)
     :return: [B, T, M] noise prediction
     """
     c = cfg.residual_channels
@@ -105,12 +118,11 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond):
     step = nn.linear(params["mlp"]["w1"], step)
     step = nn.mish(step)
     step = nn.linear(params["mlp"]["w2"], step)  # [B, C]
+    step = step.astype(x.dtype)
 
-    # Pre-compute all conditioner projections in one batched matmul:
-    # [L, 1, H, 2C] kernels applied to cond [B, T, H] -> [L, B, T, 2C].
-    cond_w = params["layers"]["conditioner_projection"]["w"][:, 0]  # [L, H, 2C]
-    cond_b = params["layers"]["conditioner_projection"]["b"]        # [L, 2C]
-    cond_proj = jnp.einsum("bth,lhc->lbtc", cond, cond_w) + cond_b[:, None, None, :]
+    if cond_proj is None:
+        cond_proj = prepare_cond(params, cond)
+    cond_proj = cond_proj.astype(x.dtype)
 
     # Reshape stacked layer params into [n_cycles, cycle, ...] and scan cycles.
     def _regroup(a):

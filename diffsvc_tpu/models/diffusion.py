@@ -264,9 +264,35 @@ class GaussianDiffusion:
         return {"fs2": fs2.init(k1, self.fs2_cfg),
                 "denoise_fn": self._dec.init(k2, self.net_cfg)}
 
-    def _denoise_closure(self, params, cond):
+    def _denoise_closure(self, params, cond, hoist_cond: bool = False):
+        # optional reduced-precision sampling: the denoiser runs in bf16
+        # (MXU-native), the PLMS/DDPM update math stays float32
+        dtype = jnp.bfloat16 if str(self.hp.get("diff_compute_dtype", "")) in (
+            "bf16", "bfloat16") else jnp.float32
+
+        def cast(tree):
+            return jax.tree.map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, tree)
+
+        if hoist_cond and self.decoder_type == "wavenet":
+            # pre-project the conditioner once; the sampling scan then skips
+            # the per-NFE conditioner matmuls
+            dn_params = cast(params["denoise_fn"])
+            cond_proj = cast(self._dec.prepare_cond(params["denoise_fn"], cond))
+
+            def fn(x, t):
+                out = self._dec.apply(dn_params, self.net_cfg,
+                                      x.astype(dtype), t, cond_proj=cond_proj)
+                return out.astype(jnp.float32)
+            return fn
+
+        dn_params = cast(params["denoise_fn"])
+        cond_c = cast(cond)
+
         def fn(x, t):
-            return self._dec.apply(params["denoise_fn"], self.net_cfg, x, t, cond)
+            out = self._dec.apply(dn_params, self.net_cfg, x.astype(dtype), t,
+                                  cond_c)
+            return out.astype(jnp.float32)
         return fn
 
     def training_loss(self, params, batch, rng):
@@ -294,7 +320,7 @@ class GaussianDiffusion:
                         batch.get("energy"), batch.get("spk_embed"))
         cond = ret["decoder_inp"]
         b, t_mel, _ = cond.shape
-        denoise_fn = self._denoise_closure(params, cond)
+        denoise_fn = self._denoise_closure(params, cond, hoist_cond=True)
         noise_rng, samp_rng = jax.random.split(rng)
 
         if use_gt_mel:

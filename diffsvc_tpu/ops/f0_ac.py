@@ -175,6 +175,23 @@ def _viterbi(cand_freq, cand_strength, time_step_correction):
     return path
 
 
+@functools.partial(jax.jit, static_argnames=("sr", "hop", "n_frames",
+                                              "win_samples", "fft_size"))
+def _track(wav, *, sr, hop, n_frames, win_samples, fft_size, start0,
+           f0_min, f0_max, voicing_threshold, tsc):
+    """Full tracker in ONE device dispatch: ACF -> candidates -> Viterbi ->
+    per-frame f0 (voiced) / 0 (unvoiced)."""
+    r, local_peak = _frame_acf.__wrapped__(
+        wav, sr=sr, hop=hop, n_frames=n_frames, win_samples=win_samples,
+        fft_size=fft_size, start0=start0)
+    global_peak = jnp.abs(wav - wav.mean()).max()
+    cand_freq, cand_strength = _find_candidates.__wrapped__(
+        r, local_peak, global_peak, float(sr), f0_min, f0_max,
+        voicing_threshold)
+    path = _viterbi.__wrapped__(cand_freq, cand_strength, tsc)
+    return jnp.take_along_axis(cand_freq, path[:, None], axis=1)[:, 0]
+
+
 def get_pitch_ac(wav: np.ndarray, mel_len: int, hp) -> tuple:
     """parselmouth-compatible entry: (f0 [mel_len], coarse [mel_len]).
 
@@ -196,15 +213,10 @@ def get_pitch_ac(wav: np.ndarray, mel_len: int, hp) -> tuple:
 
     fft_size = int(2 ** np.ceil(np.log2(2 * win_samples)))
     wav_j = jnp.asarray(np.asarray(wav, np.float32))
-    r, local_peak = _frame_acf(
+    f0 = np.asarray(_track(
         wav_j, sr=sr, hop=hop, n_frames=n_frames, win_samples=win_samples,
-        fft_size=fft_size, start0=start0)
-    global_peak = jnp.abs(wav_j - wav_j.mean()).max()
-    cand_freq, cand_strength = _find_candidates(
-        r, local_peak, global_peak, float(sr), f0_min, f0_max, voicing_threshold)
-    tsc = 0.01 / dt
-    path = _viterbi(cand_freq, cand_strength, tsc)
-    f0 = np.asarray(jnp.take_along_axis(cand_freq, path[:, None], axis=1)[:, 0])
+        fft_size=fft_size, start0=start0, f0_min=f0_min, f0_max=f0_max,
+        voicing_threshold=voicing_threshold, tsc=0.01 / dt))
 
     # Pad onto the mel grid exactly like the reference.
     pad_size = (int(len(wav) // hop) - len(f0) + 1) // 2

@@ -162,9 +162,14 @@ def _resblock2(p, x, kernel: int, dilations: Sequence[int]):
     return x
 
 
-def apply(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None, rng=None):
+def apply(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None, rng=None,
+          dtype=None):
     """mel [B, T, M] (natural-log domain for NSF weights, matching how the
-    wrappers feed it), f0 [B, T] in Hz. Returns wav [B, T*prod(rates)]."""
+    wrappers feed it), f0 [B, T] in Hz. Returns wav [B, T*prod(rates)].
+
+    ``dtype=jnp.bfloat16`` runs the conv stack in reduced precision (the
+    NSF source phase accumulation stays float32); output is float32.
+    """
     total_up = int(np.prod(cfg.upsample_rates))
     har_source = None
     if cfg.use_nsf and f0 is not None:
@@ -173,6 +178,13 @@ def apply(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None, rng=None):
         f0_up = upsample_nearest(f0, total_up)
         har_source, _ = source_module(params["m_source"], rng, f0_up,
                                       cfg.sampling_rate, cfg.harmonic_num)
+
+    if dtype is not None:
+        params = jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
+        mel = mel.astype(dtype)
+        if har_source is not None:
+            har_source = har_source.astype(dtype)
 
     x = nn.conv1d(params["conv_pre"], mel, padding=3)
     n_kernels = len(cfg.resblock_kernel_sizes)
@@ -200,4 +212,4 @@ def apply(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None, rng=None):
         x = xs / n_kernels
     x = jax.nn.leaky_relu(x)
     x = nn.conv1d(params["conv_post"], x, padding=3)
-    return jnp.tanh(x)[:, :, 0]
+    return jnp.tanh(x)[:, :, 0].astype(jnp.float32)
