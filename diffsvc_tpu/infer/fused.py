@@ -123,7 +123,9 @@ class FusedSvc:
         fftsz = int(2 ** np.ceil(np.log2(2 * win_samples)))
         pad_size = (n44 // hop - n_frames + 1) // 2
 
-        def fused(wav44, wav16, rng):
+        # params enter as ARGUMENTS (not closure constants) so the compiled
+        # HLO stays small and weights live on-device between calls
+        def fused(diff_params, hub_params, voc_params, wav44, wav16, rng):
             # --- mel ---
             if is_nsf:
                 mel = mel_ops.wav2mel_nsf(
@@ -152,7 +154,7 @@ class FusedSvc:
 
             # --- hubert units ---
             units = hubert_model.units.__wrapped__(
-                self.hub_params, self.hub_cfg, wav16[None])[0]
+                hub_params, self.hub_cfg, wav16[None])[0]
 
             # --- condition assembly (padded to the bucket) ---
             mel2ph = jnp.zeros((pad_t,), jnp.int32)
@@ -169,7 +171,7 @@ class FusedSvc:
                      "mels": melb[None]}
 
             # --- diffusion ---
-            out = model.infer(self.params, batch, rng, speedup=speedup)
+            out = model.infer(diff_params, batch, rng, speedup=speedup)
             mel_pred = out["mel_out"][:, :t_mel, :]
             mel_pred = jnp.clip(mel_pred, hp.get("mel_vmin", -6.0),
                                 hp.get("mel_vmax", 1.5))
@@ -181,7 +183,7 @@ class FusedSvc:
             f0_voc = f0_grid[None, :t_mel]
             dtype = jnp.bfloat16 if str(hp.get("voc_compute_dtype", "")) in (
                 "bf16", "bfloat16") else None
-            wav_out = gen.apply(voc.params, voc.cfg, voc_in, f0_voc,
+            wav_out = gen.apply(voc_params, voc.cfg, voc_in, f0_voc,
                                 jax.random.fold_in(rng, 7), dtype=dtype)
             return wav_out[0], f0_grid, mel_pred[0]
 
@@ -202,5 +204,7 @@ class FusedSvc:
         if key not in self._fns:
             self._fns[key] = self._build(*key)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        return self._fns[key](jnp.asarray(wav44, jnp.float32),
+        return self._fns[key](self.params, self.hub_params,
+                              self.vocoder.params,
+                              jnp.asarray(wav44, jnp.float32),
                               jnp.asarray(wav16), rng)
