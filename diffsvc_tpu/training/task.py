@@ -97,19 +97,49 @@ class SVCTask:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(self.mesh, P())
-            data = NamedSharding(self.mesh, P("data"))
+            batch_spec = self.batch_shardings()
             return jax.jit(
                 train_step,
-                in_shardings=(repl, data, repl),
+                in_shardings=(repl, batch_spec, repl),
                 out_shardings=(repl, repl),
                 donate_argnums=(0,),
-            )
-        return jax.jit(train_step, donate_argnums=(0,))
+            ), set(batch_spec)
+        return jax.jit(train_step, donate_argnums=(0,)), None
+
+    def batch_shardings(self):
+        """Per-key batch shardings: batch axis on 'data'; when the mesh has a
+        'seq' axis, the mel/unit time axes are sharded too (sequence
+        parallelism — XLA inserts the halo exchanges the dilated convs and
+        the mel2ph gather need)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        has_seq = "seq" in self.mesh.axis_names
+        seq = "seq" if has_seq else None
+        spec = {
+            "hubert": P("data", seq, None),
+            "mels": P("data", seq, None),
+            "mel2ph": P("data", seq),
+            "energy": P("data", seq),
+            "f0": P("data", seq),
+            "uv": P("data", seq),
+            "sample_mask": P("data"),
+        }
+        if self.hp.get("use_spk_id"):
+            spec["spk_embed"] = P("data")
+        return {k: NamedSharding(self.mesh, v) for k, v in spec.items()}
 
     def train_step(self, state, batch, rng):
         if self._train_step is None:
-            self._train_step = self._make_train_step()
+            self._train_step, self._batch_keys = self._make_train_step()
         jb = self.prepare_batch(batch)
+        if self._batch_keys is not None:
+            # align the batch pytree with the sharding spec structure
+            b = jb.get("mels")
+            if "sample_mask" in self._batch_keys and "sample_mask" not in jb:
+                import jax.numpy as jnp
+
+                jb["sample_mask"] = jnp.ones((b.shape[0],), jnp.float32)
+            jb = {k: jb[k] for k in self._batch_keys}
         return self._train_step(state, jb, rng)
 
     # ------------------------------------------------------------------
@@ -136,10 +166,9 @@ class SVCTask:
 
     # ------------------------------------------------------------------
     def prepare_batch(self, batch: Dict, shard: bool = True) -> Dict:
+        # placement/sharding is handled by the jitted step's in_shardings
         keys = ("hubert", "mels", "mel2ph", "energy", "f0", "uv", "sample_mask")
         jb = {k: batch[k] for k in keys if batch.get(k) is not None}
         if self.hp.get("use_spk_id") and "spk_ids" in batch:
             jb["spk_embed"] = batch["spk_ids"]
-        if shard and self.mesh is not None:
-            jb = mesh_lib.shard_batch(self.mesh, jb)
         return jb

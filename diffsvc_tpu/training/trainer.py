@@ -46,7 +46,10 @@ class Trainer:
         save_hparams(hp, self.work_dir)
 
         n_dev = len(jax.devices())
-        self.mesh = mesh_lib.make_mesh(("data",)) if (use_mesh and n_dev > 1) else None
+        axes = tuple(str(hp.get("mesh_axes", "data")).split(","))
+        shape = hp.get("mesh_shape")
+        self.mesh = mesh_lib.make_mesh(axes, shape=shape) \
+            if (use_mesh and n_dev > 1) else None
         self.world = mesh_lib.data_parallel_world_size(self.mesh)
         task_cls = task_cls or resolve_task_cls(hp.get("task_cls", ""))
         self.task = task_cls(hp, mesh=self.mesh)
