@@ -78,7 +78,12 @@ class HifiGAN(BaseVocoder):
             y = self._apply(self.params, c, f0, rng)
         else:
             y = self._apply_nof0(self.params, c)
-        return np.asarray(y[0])
+        wav_out = np.asarray(y[0])
+        if float(self.hp.get("vocoder_denoise_c", 0.0) or 0.0) > 0:
+            from .vocoder_utils import denoise
+
+            wav_out = denoise(wav_out, self.hp, v=self.hp["vocoder_denoise_c"])
+        return wav_out
 
     @staticmethod
     def wav2spec(wav_fn, hp=None, return_linear: bool = False):

@@ -10,10 +10,28 @@ def run_task():
     from diffsvc_tpu.training.trainer import Trainer
 
     assert hparams.get("task_cls", ""), "config must define task_cls"
-    # the reference resolves task_cls dynamically; the SVC task is the only
-    # task family here, trained through the TPU Trainer
     trainer = Trainer(hparams)
-    trainer.fit()
+    if hparams.get("infer"):
+        # --infer: run the test split through full sampling and save
+        # wav/plot/npy artifacts (reference trainer.test path)
+        from diffsvc_tpu.training import checkpoint as ckpt_lib
+        from diffsvc_tpu.training.test_runner import run_test
+        from diffsvc_tpu.vocoders.base import get_vocoder_cls
+
+        state = trainer.task.init_state()
+        restored = ckpt_lib.restore_checkpoint(hparams["work_dir"])
+        step = 0
+        if restored is not None:
+            st, _, step, _ = restored
+            state = trainer.task.load_params_into_state(state, st["params"])
+        vocoder = None
+        try:
+            vocoder = get_vocoder_cls(hparams)(hparams)
+        except Exception as e:
+            print(f"| vocoder unavailable ({e}); saving mels only")
+        run_test(hparams, trainer.task, state, vocoder, global_step=step)
+    else:
+        trainer.fit()
 
 
 if __name__ == "__main__":
