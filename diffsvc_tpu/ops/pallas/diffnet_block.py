@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: fused DiffNet gated residual block.
+
+One kernel per layer computes, with x resident in VMEM:
+
+    y    = x + step                                (broadcast over T)
+    z    = dilated_conv3(y) + cond_proj            (3 shifted MXU matmuls)
+    h    = sigmoid(z[..., :C]) * tanh(z[..., C:])
+    o    = h @ W_out + b_out
+    x'   = (x + o[..., :C]) / sqrt(2)
+    skip = o[..., C:]
+
+vs the XLA path this fuses the conv, gate, 1x1 and residual ops into one
+pass over x without HBM round trips between them. The dilated k=3
+convolution is expressed as three shifted [TT, C] @ [C, 2C] matmuls so
+everything rides the MXU. The time axis is processed in TT-sized tiles via
+an in-kernel loop (bounds VMEM for long mels); the input arrives pre-padded
+by the dilation so every tile's halo read is in range.
+
+Grid: (B,). C must be a multiple of 128 (256/384 in the shipped configs);
+T a multiple of the tile (the pipeline pads mels to 128 multiples already).
+
+Measured on TPU v5e-1 (T=896, C=384, fp32, 20-layer stack in one jit):
+0.159 ms/layer vs XLA's 0.151 ms/layer — XLA's conv kernels already keep
+this matmul-dominated block at high MXU utilization, so the Pallas path is
+kept as an optional, correctness-tested alternative (useful as the starting
+point for a future cross-layer weight-streaming kernel) rather than the
+default.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas requires a TPU-capable lowering; import lazily
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PALLAS_OK = True
+except Exception:  # pragma: no cover
+    PALLAS_OK = False
+
+TILE_T = 128
+
+
+def _make_kernel(dilation: int, T: int, tile_t: int):
+    n_tiles = -(-T // tile_t)
+
+    def kernel(ypad_ref, x_ref, cond_ref, wdil_ref, bdil_ref,
+               wout_ref, bout_ref, x_out_ref, skip_ref):
+        """Blocks: ypad [1, T+2d, C] (x+step, padded by d), x [1, T, C],
+        cond [1, T, 2C], wdil [3, C, 2C], bdil [1, 2C], wout [C, 2C],
+        bout [1, 2C] -> x_out [1, T, C], skip [1, T, C]."""
+        d = dilation
+        inv_sqrt2 = 1.0 / math.sqrt(2.0)
+
+        def tile_body(i, _):
+            ts = i * tile_t
+            y_ext = ypad_ref[0, pl.ds(ts, tile_t + 2 * d), :]
+            x_t = x_ref[0, pl.ds(ts, tile_t), :]
+            cond_t = cond_ref[0, pl.ds(ts, tile_t), :]
+
+            z = jnp.dot(y_ext[d: d + tile_t], wdil_ref[1],
+                        preferred_element_type=jnp.float32)
+            z = z + jnp.dot(y_ext[0:tile_t], wdil_ref[0],
+                            preferred_element_type=jnp.float32)
+            z = z + jnp.dot(y_ext[2 * d: 2 * d + tile_t], wdil_ref[2],
+                            preferred_element_type=jnp.float32)
+            z = z + bdil_ref[0][None, :] + cond_t
+
+            C = x_t.shape[-1]
+            h = (jax.nn.sigmoid(z[:, :C]) * jnp.tanh(z[:, C:])).astype(x_t.dtype)
+            o = jnp.dot(h, wout_ref[:], preferred_element_type=jnp.float32)
+            o = o + bout_ref[0][None, :]
+            x_out_ref[0, pl.ds(ts, tile_t), :] = \
+                ((x_t + o[:, :C].astype(x_t.dtype)) * inv_sqrt2).astype(x_t.dtype)
+            skip_ref[0, pl.ds(ts, tile_t), :] = o[:, C:].astype(x_t.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "interpret", "tile_t"))
+def fused_residual_block(x, step, cond_proj, w_dil, b_dil, w_out, b_out,
+                         *, dilation: int, interpret: bool = False,
+                         tile_t: int = TILE_T):
+    """x [B, T, C], step [B, C], cond_proj [B, T, 2C], w_dil [3, C, 2C],
+    b_dil [2C], w_out [C, 2C], b_out [2C] -> (x' [B,T,C], skip [B,T,C])."""
+    B, T, C = x.shape
+    d = dilation
+    tile_t = min(tile_t, T)
+    assert T % tile_t == 0, (T, tile_t)
+
+    y = x + step[:, None, :]
+    ypad = jnp.pad(y, ((0, 0), (d, d), (0, 0)))
+
+    grid_spec = pl.GridSpec(
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T + 2 * d, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 2 * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, C, 2 * C), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 2 * C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+
+    x_out, skip = pl.pallas_call(
+        _make_kernel(dilation, T, tile_t),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, T, C), x.dtype),
+                   jax.ShapeDtypeStruct((B, T, C), x.dtype)],
+        interpret=interpret,
+    )(ypad, x, cond_proj, w_dil, b_dil[None, :], w_out, b_out[None, :])
+    return x_out, skip
+
+
+def reference_block(x, step, cond_proj, w_dil, b_dil, w_out, b_out,
+                    dilation: int):
+    """Plain-JAX reference (same math as models/diffnet._residual_block)."""
+    y = x + step[:, None, :]
+    z = jax.lax.conv_general_dilated(
+        y, w_dil, window_strides=(1,), padding=[(dilation, dilation)],
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"))
+    z = z + b_dil + cond_proj
+    C = x.shape[-1]
+    gate, filt = z[..., :C], z[..., C:]
+    h = jax.nn.sigmoid(gate) * jnp.tanh(filt)
+    o = jnp.einsum("btc,cd->btd", h, w_out) + b_out
+    return (x + o[..., :C]) / math.sqrt(2.0), o[..., C:]
