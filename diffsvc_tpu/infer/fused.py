@@ -37,8 +37,9 @@ def align_uniform_device(mel_len: int, n_units: int):
     ph_durs = mel_len / n_units
     end_frame = jnp.floor(i * ph_durs + ph_durs + 0.5).astype(jnp.int32)
     f = jnp.arange(mel_len, dtype=jnp.int32)
-    # frame f belongs to the smallest j with end_frame[j] + 1 >= f
-    j = jnp.searchsorted(end_frame + 1, f, side="left")
+    # unit i covers frames [end_frame[i-1]+1 .. end_frame[i]], so frame f
+    # belongs to the smallest j with end_frame[j] >= f
+    j = jnp.searchsorted(end_frame, f, side="left")
     return jnp.clip(j + 1, 1, n_units)
 
 
@@ -125,7 +126,8 @@ class FusedSvc:
 
         # params enter as ARGUMENTS (not closure constants) so the compiled
         # HLO stays small and weights live on-device between calls
-        def fused(diff_params, hub_params, voc_params, wav44, wav16, rng):
+        def fused(diff_params, hub_params, voc_params, wav44, wav16, rng,
+                  key_shift):
             # --- mel ---
             if is_nsf:
                 mel = mel_ops.wav2mel_nsf(
@@ -162,6 +164,10 @@ class FusedSvc:
                 align_uniform_device(t_mel, units.shape[0]))
             f0n, uv = norm_interp_f0_device(f0_grid,
                                             hp.get("pitch_norm", "log"))
+            # key transpose in the log2 domain with ceiling zeroing
+            # (reference infer_tool.py:149-150)
+            f0n = f0n + key_shift / 12.0
+            f0n = jnp.where(f0n > np.log2(float(hp["f0_max"])), 0.0, f0n)
             f0b = jnp.zeros((pad_t,), jnp.float32).at[:t_mel].set(f0n)
             uvb = jnp.zeros((pad_t,), jnp.float32).at[:t_mel].set(uv)
             melb = jnp.zeros((pad_t, nmel), jnp.float32).at[:t_mel].set(mel)
@@ -180,16 +186,18 @@ class FusedSvc:
             from ..vocoders import generator as gen
 
             voc_in = mel_pred * (mel_ops.LN_10 if is_nsf else 1.0)
-            f0_voc = f0_grid[None, :t_mel]
+            # vocoder f0 = the conditioner's (key-shifted) denormalized f0,
+            # matching the reference's use_pe=False path
+            f0_voc = out["f0_denorm"][:, :t_mel]
             dtype = jnp.bfloat16 if str(hp.get("voc_compute_dtype", "")) in (
                 "bf16", "bfloat16") else None
             wav_out = gen.apply(voc_params, voc.cfg, voc_in, f0_voc,
                                 jax.random.fold_in(rng, 7), dtype=dtype)
-            return wav_out[0], f0_grid, mel_pred[0]
+            return wav_out[0], f0_voc[0], mel_pred[0]
 
         return jax.jit(fused)
 
-    def __call__(self, wav44: np.ndarray, rng=None):
+    def __call__(self, wav44: np.ndarray, rng=None, key_shift: int = 0):
         from ..utils.audio_io import resample
 
         hp = self.hp
@@ -207,4 +215,5 @@ class FusedSvc:
         return self._fns[key](self.params, self.hub_params,
                               self.vocoder.params,
                               jnp.asarray(wav44, jnp.float32),
-                              jnp.asarray(wav16), rng)
+                              jnp.asarray(wav16), rng,
+                              jnp.float32(key_shift))

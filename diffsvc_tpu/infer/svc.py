@@ -101,6 +101,24 @@ class Svc:
         self.f0_dict = read_temp(F0_CACHE_PATH)
 
         self._infer_fn = {}
+        self._fused = None
+
+    def infer_fused(self, wav: "np.ndarray", key: int = 0, acc: int = 20,
+                    seed: int = 0, compute_dtype=None):
+        """Serving fast path: the whole pipeline (mel, AC-f0, hubert, cond,
+        diffusion, vocoder) as ONE XLA program per length bucket
+        (diffsvc_tpu/infer/fused.py). Key shift is applied on the device f0
+        in Hz (2**(key/12) scale with ceiling zeroing, matching infer())."""
+        if self._fused is None or getattr(self._fused, "speedup", None) != int(acc):
+            from .fused import FusedSvc
+
+            self._fused = FusedSvc(self.hp, self.params, self.vocoder,
+                                   hubert_params=self.hubert.params,
+                                   hubert_cfg=self.hubert.cfg,
+                                   speedup=int(acc),
+                                   compute_dtype=compute_dtype)
+        return self._fused(np.asarray(wav, np.float32),
+                           jax.random.PRNGKey(seed), key_shift=int(key))
 
     def _jit_infer(self, speedup: int, use_gt_mel: bool = False,
                    add_noise_step: int = 500):

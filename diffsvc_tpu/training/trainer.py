@@ -60,6 +60,18 @@ class Trainer:
         self.writer = log_writer or self._build_writer()
         self.rng = jax.random.PRNGKey(hp.get("seed", 1234))
 
+        # the reference SVCTask builds its vocoder in the ctor for validation
+        # audio; optional here (training runs fine without the weights)
+        self.vocoder = None
+        try:
+            from ..vocoders.base import get_vocoder_cls
+
+            if hp.get("vocoder") and os.path.exists(
+                    str(hp.get("vocoder_ckpt", "")).split("/model")[0] or "/nonexistent"):
+                self.vocoder = get_vocoder_cls(hp)(hp)
+        except Exception as e:
+            print(f"| validation vocoder unavailable: {e}")
+
     def _build_writer(self):
         try:
             from torch.utils.tensorboard import SummaryWriter

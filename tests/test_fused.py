@@ -1,0 +1,84 @@
+"""Fused single-dispatch inference graph: correctness of the device-side
+glue (align, interp, key shift) and end-to-end execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from types import SimpleNamespace
+
+from diffsvc_tpu.config import HParams
+from diffsvc_tpu.infer.fused import (FusedSvc, align_uniform_device,
+                                     norm_interp_f0_device)
+from diffsvc_tpu.data.features import get_align_uniform
+from diffsvc_tpu.ops.pitch import norm_interp_f0_np
+
+
+def test_align_uniform_device_matches_host():
+    for mel_len, n_units in [(10, 5), (100, 37), (257, 64), (7, 7)]:
+        host = get_align_uniform(mel_len, n_units)
+        dev = np.asarray(align_uniform_device(mel_len, n_units))
+        np.testing.assert_array_equal(dev, host)
+
+
+def test_norm_interp_device_matches_host():
+    f0 = np.array([0, 220, 0, 0, 440, 0, 330, 0], np.float32)
+    h_f0, h_uv = norm_interp_f0_np(f0)
+    d_f0, d_uv = norm_interp_f0_device(jnp.asarray(f0))
+    np.testing.assert_array_equal(np.asarray(d_uv), h_uv)
+    np.testing.assert_allclose(np.asarray(d_f0), h_f0, rtol=1e-5)
+
+
+def test_norm_interp_device_all_unvoiced():
+    d_f0, d_uv = norm_interp_f0_device(jnp.zeros(6))
+    assert (np.asarray(d_f0) == 0).all()
+    assert (np.asarray(d_uv) == 1).all()
+
+
+@pytest.fixture(scope="module")
+def fused_model():
+    from diffsvc_tpu.models.diffusion import GaussianDiffusion
+    from diffsvc_tpu.models import hubert as hub
+    from diffsvc_tpu.vocoders import generator as gen
+
+    hp = HParams(
+        audio_sample_rate=8000, audio_num_mel_bins=16, fft_size=256,
+        hop_size=64, win_size=256, fmin=30, fmax=4000, wav2spec_eps=1e-6,
+        hidden_size=32, residual_layers=4, residual_channels=16,
+        dilation_cycle_length=4, timesteps=20, K_step=20, diff_loss_type="l2",
+        schedule_type="linear", max_beta=0.02, keep_bins=16,
+        spec_min=[-6.0], spec_max=[1.5], no_fs2=True, use_pitch_embed=True,
+        use_energy_embed=False, use_uv=False, pitch_norm="log", f0_bin=256,
+        f0_min=50.0, f0_max=1100.0, pndm_speedup=5, vocoder="hifigan",
+        mel_vmin=-6.0, mel_vmax=1.5)
+    model = GaussianDiffusion(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    hcfg = hub.HubertConfig(dim=32, num_heads=4, num_layers=1, ffn_dim=64,
+                            proj_dim=32)
+    hp_ = hub.init(jax.random.PRNGKey(1), hcfg)
+    vcfg = gen.HifiGanConfig(
+        num_mels=16, upsample_initial_channel=32, upsample_rates=(4, 4, 4),
+        upsample_kernel_sizes=(8, 8, 8), resblock="1",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        sampling_rate=8000, use_nsf=False)
+    voc = SimpleNamespace(params=gen.init(jax.random.PRNGKey(2), vcfg), cfg=vcfg)
+    return FusedSvc(hp, params, voc, hubert_params=hp_, hubert_cfg=hcfg,
+                    speedup=5)
+
+
+def test_fused_end_to_end(fused_model):
+    t = np.arange(8000) / 8000
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav_out, f0, mel = fused_model(wav)
+    assert np.isfinite(np.asarray(wav_out)).all()
+    v = np.asarray(f0)
+    assert abs(np.median(v[v > 0]) - 220.0) < 5
+
+
+def test_fused_key_shift(fused_model):
+    t = np.arange(8000) / 8000
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    _, f0_up, _ = fused_model(wav, key_shift=12)
+    v = np.asarray(f0_up)
+    # +12 semitones -> vocoder f0 doubled
+    assert abs(np.median(v[v > 0]) - 440.0) < 10
