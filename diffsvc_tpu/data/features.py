@@ -55,12 +55,44 @@ def get_pitch(wav: np.ndarray, mel: np.ndarray, hp: HParams,
 
 
 def wav2spec_for(hp: HParams, wav_fn) -> tuple:
-    """Dispatch wav2spec through the vocoder registry like the reference."""
+    """Dispatch wav2spec through the vocoder registry like the reference.
+
+    Length bucketing (``wav_bucket_frames``, default 128): the waveform is
+    zero-padded to a bucket multiple before the jitted mel/f0 stages so XLA
+    compiles one program per bucket instead of one per unique clip length;
+    the outputs are trimmed back to the true frame count. Set
+    ``wav_bucket_frames: 1`` for exact reference frame geometry.
+    """
     from ..vocoders.base import VOCODERS, get_vocoder_cls
 
     name = hp["vocoder"]
     cls = VOCODERS.get(name) or VOCODERS.get(name.split(".")[-1]) or get_vocoder_cls(hp)
-    return cls.wav2spec(wav_fn, hp=hp)
+
+    bucket = int(hp.get("wav_bucket_frames", 128) or 1)
+    if bucket <= 1:
+        return cls.wav2spec(wav_fn, hp=hp)
+
+    from ..utils.audio_io import load_wav, load_wav_nsf
+
+    is_nsf = "nsf" in str(name).lower()
+    if isinstance(wav_fn, np.ndarray):
+        wav = np.asarray(wav_fn, np.float32)
+    elif is_nsf:
+        wav, _ = load_wav_nsf(wav_fn, target_sr=hp["audio_sample_rate"])
+    else:
+        wav, _ = load_wav(wav_fn, sr=hp["audio_sample_rate"])
+
+    hop = hp["hop_size"]
+    true_len = len(wav)
+    if is_nsf:
+        true_frames = 1 + (true_len + 2 * ((hp["fft_size"] - hop) // 2)
+                           - hp["fft_size"]) // hop
+    else:
+        true_frames = 1 + true_len // hop
+    pad_len = -(-true_len // (bucket * hop)) * (bucket * hop)
+    wav_padded = np.pad(wav, (0, pad_len - true_len))
+    wav_out, mel = cls.wav2spec(wav_padded, hp=hp)
+    return wav_out[: true_frames * hop] if not is_nsf else wav, mel[:true_frames]
 
 
 def process_item(item_name: str, wav_fn, hp: HParams, hubert_encode,

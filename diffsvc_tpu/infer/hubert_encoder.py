@@ -67,8 +67,15 @@ class Hubertencoder:
             wav16k, _ = load_wav(wav_path, sr=16000)
         if self.params is None:
             raise FileNotFoundError("HuBERT/ContentVec checkpoint not loaded")
+        # length bucketing: pad to 0.4 s multiples (one compile per bucket),
+        # trim units back to the true 50 Hz frame count
+        true_units = max(len(wav16k) // 320, 1)
+        bucket = 6400  # 0.4 s at 16 kHz = 20 unit frames
+        pad_len = -(-len(wav16k) // bucket) * bucket
+        wav16k = np.pad(np.asarray(wav16k, np.float32),
+                        (0, pad_len - len(wav16k)))
         if self.use_vec:
             units = self._vec.units(self.params, self.cfg, jnp.asarray(wav16k)[None])
         else:
             units = hubert_model.units(self.params, self.cfg, jnp.asarray(wav16k)[None])
-        return np.asarray(units[0])
+        return np.asarray(units[0, :true_units])

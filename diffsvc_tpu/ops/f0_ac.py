@@ -205,6 +205,17 @@ def get_pitch_ac(wav: np.ndarray, mel_len: int, hp) -> tuple:
     voicing_threshold = 0.6
     dt = hop / sr
 
+    # Length bucketing: zero-pad the tail so the jitted tracker compiles one
+    # program per bucket, not per clip length. The Praat grid is midpoint-
+    # centred, so padding shifts frame centres by < dt/2 (sub-frame);
+    # wav_bucket_frames: 1 restores exact reference timing.
+    bucket = int(hp.get("wav_bucket_frames", 128) or 1)
+    true_len = len(wav)
+    if bucket > 1:
+        pad_len = -(-true_len // (bucket * hop)) * (bucket * hop)
+        if pad_len != true_len:
+            wav = np.pad(np.asarray(wav), (0, pad_len - true_len))
+
     window_len_s = PERIODS_PER_WINDOW / f0_min
     win_samples = int(round(window_len_s * sr))
     n_frames, t1 = _praat_frame_grid(len(wav), sr, dt, window_len_s)
