@@ -177,9 +177,10 @@ def main():
     log(f"| fused RTF fp32: {rtf_fused:.4f} (runs: "
         + " ".join(f"{t:.3f}" for t in fused_times) + ")")
 
-    # bf16 sampling + vocoder variant
+    # bf16 sampling + vocoder + hubert variant
     hp["diff_compute_dtype"] = "bfloat16"
     hp["voc_compute_dtype"] = "bfloat16"
+    hp["hubert_compute_dtype"] = "bfloat16"
     fused_bf16 = FusedSvc(hp, params, voc, hubert_params=hub_params,
                           hubert_cfg=hub_cfg, speedup=SPEEDUP)
     out = fused_bf16(wav)

@@ -115,6 +115,31 @@ class BatchIterator:
             yield batch
 
 
+def prefetch(iterator: Iterator, prepare_fn=None, depth: int = 2) -> Iterator:
+    """Run the (host-side) batch pipeline a few steps ahead in a background
+    thread — collation/padding/device transfer overlap device compute."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(prepare_fn(item) if prepare_fn else item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
 def _pad_batch_dim(batch: Dict, n: int) -> Dict:
     """Pad the batch axis with zero rows; a ``sample_mask`` marks real rows
     so the loss ignores the padding."""

@@ -155,8 +155,16 @@ class FusedSvc:
                     f0_track, (src_start,), (copy_n,)), (dst_start,))
 
             # --- hubert units ---
-            units = hubert_model.units.__wrapped__(
-                hub_params, self.hub_cfg, wav16[None])[0]
+            if str(hp.get("hubert_compute_dtype", "")) in ("bf16", "bfloat16"):
+                hub_p = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, hub_params)
+                units = hubert_model.units.__wrapped__(
+                    hub_p, self.hub_cfg, wav16[None].astype(jnp.bfloat16)
+                )[0].astype(jnp.float32)
+            else:
+                units = hubert_model.units.__wrapped__(
+                    hub_params, self.hub_cfg, wav16[None])[0]
 
             # --- condition assembly (padded to the bucket) ---
             mel2ph = jnp.zeros((pad_t,), jnp.int32)

@@ -125,14 +125,19 @@ class Trainer:
             rng_np = np.random.RandomState(hp.get("seed", 1234) + self.epoch)
             batches = build_batches(train_ds, hp, num_replicas=self.world, rng=rng_np)
             it = BatchIterator(train_ds, batches, pad_multiple=pad_multiple)
-            for batch in it:
-                # pad the batch axis up to the data-parallel multiple (no-op
-                # size-wise when divisible); sample_mask keeps the loss exact
-                # and the jit batch-structure stable
-                from ..data.dataset import _pad_batch_dim
 
+            # pad the batch axis up to the data-parallel multiple (no-op
+            # size-wise when divisible); sample_mask keeps the loss exact
+            # and the jit batch-structure stable. Collation+padding run a
+            # couple of batches ahead in a background thread so the host
+            # pipeline overlaps device compute.
+            from ..data.dataset import _pad_batch_dim, prefetch
+
+            def _prep(batch):
                 n = -(-batch["nsamples"] // self.world) * self.world
-                batch = _pad_batch_dim(batch, n)
+                return _pad_batch_dim(batch, n)
+
+            for batch in prefetch(iter(it), _prep, depth=2):
                 state, metrics = self.task.train_step(state, batch, self.rng)
                 self.global_step += 1
                 seen += 1

@@ -30,6 +30,19 @@ def run_task():
         except Exception as e:
             print(f"| vocoder unavailable ({e}); saving mels only")
         run_test(hparams, trainer.task, state, vocoder, global_step=step)
+    elif hparams.get("validate"):
+        # --validate: one validation pass on the latest checkpoint
+        from diffsvc_tpu.data.dataset import FastSpeechDataset
+        from diffsvc_tpu.training import checkpoint as ckpt_lib
+
+        state = trainer.task.init_state()
+        restored = ckpt_lib.restore_checkpoint(hparams["work_dir"])
+        if restored is not None:
+            st, _, trainer.global_step, _ = restored
+            state = trainer.task.load_params_into_state(state, st["params"])
+        valid_ds = FastSpeechDataset("valid", hparams, shuffle=False)
+        trainer.validate(state, valid_ds,
+                         int(hparams.get("frames_multiple", 128)))
     else:
         trainer.fit()
 
