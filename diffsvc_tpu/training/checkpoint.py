@@ -96,7 +96,8 @@ def load_params_for_infer(ckpt_path: str) -> Dict:
         ckpt_path = latest_checkpoint(ckpt_path)
     with open(ckpt_path, "rb") as f:
         ckpt = pickle.load(f)
-    return ckpt["state"]["params"]
+    # prefer EMA weights for inference when present
+    return ckpt["state"].get("ema_params") or ckpt["state"]["params"]
 
 
 def simplify_checkpoint(in_path: str, out_path: str) -> None:

@@ -58,8 +58,13 @@ class SVCTask:
     def init_state(self, seed: Optional[int] = None) -> Dict:
         seed = seed if seed is not None else self.hp.get("seed", 1234)
         params = self.model.init_params(jax.random.PRNGKey(seed))
-        return {"params": params, "opt_state": self.tx.init(params),
-                "step": jnp.zeros((), jnp.int32)}
+        state = {"params": params, "opt_state": self.tx.init(params),
+                 "step": jnp.zeros((), jnp.int32)}
+        if float(self.hp.get("ema_decay", 0) or 0) > 0:
+            # EMA of params for sampling (not in the reference; diffusion
+            # models sample noticeably better from averaged weights)
+            state["ema_params"] = jax.tree.map(lambda a: a, params)
+        return state
 
     def load_params_into_state(self, state: Dict, params) -> Dict:
         state = dict(state)
@@ -85,6 +90,11 @@ class SVCTask:
             params = optax.apply_updates(state["params"], updates)
             new_state = {"params": params, "opt_state": opt_state,
                          "step": state["step"] + 1}
+            if "ema_params" in state:
+                d = float(self.hp.get("ema_decay"))
+                new_state["ema_params"] = jax.tree.map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    state["ema_params"], params)
             metrics = {
                 "loss": loss,
                 "mel": loss,  # the diffusion loss is the 'mel' loss

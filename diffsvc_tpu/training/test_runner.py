@@ -64,7 +64,8 @@ def run_test(hp: HParams, task, state, vocoder=None, global_step: int = 0):
     rng = jax.random.PRNGKey(hp.get("seed", 1234))
     sr = hp["audio_sample_rate"]
     for i, batch in enumerate(it):
-        out = task.sample(state["params"], batch, jax.random.fold_in(rng, i))
+        sample_params = state.get("ema_params", state["params"])
+        out = task.sample(sample_params, batch, jax.random.fold_in(rng, i))
         mel_pred = np.asarray(out["mel_out"][0])
         mask = np.abs(mel_pred).sum(-1) > 0
         mel_pred = np.clip(mel_pred[mask], hp["mel_vmin"], hp["mel_vmax"])

@@ -196,7 +196,8 @@ class Trainer:
         if self.writer is None:
             return
         try:
-            out = self.task.sample(state["params"], batch, self.rng)
+            sample_params = state.get("ema_params", state["params"])
+            out = self.task.sample(sample_params, batch, self.rng)
             mel_pred = np.asarray(out["mel_out"][0])
             mel_gt = np.asarray(batch["mels"][0])
             from ..utils.plot import spec_to_figure
