@@ -62,8 +62,10 @@ class SVCTask:
                  "step": jnp.zeros((), jnp.int32)}
         if float(self.hp.get("ema_decay", 0) or 0) > 0:
             # EMA of params for sampling (not in the reference; diffusion
-            # models sample noticeably better from averaged weights)
-            state["ema_params"] = jax.tree.map(lambda a: a, params)
+            # models sample noticeably better from averaged weights).
+            # Materialized copies: params buffers are donated by train_step.
+            state["ema_params"] = jax.tree.map(lambda a: jnp.array(a, copy=True),
+                                               params)
         return state
 
     def load_params_into_state(self, state: Dict, params) -> Dict:
