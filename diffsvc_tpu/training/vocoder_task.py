@@ -1,0 +1,167 @@
+"""Vocoder (NSF-)HiFi-GAN adversarial fine-tuning on TPU.
+
+The reference vendors the MPD/MSD discriminators and GAN losses but never
+wires vocoder training (SURVEY.md §2.6); this task completes it:
+
+    G loss = LSGAN adv + 2*feature-matching + 45*mel-L1 (+ multi-res STFT)
+    D loss = LSGAN real/fake on MPD+MSD
+
+One jitted step updates D then G (standard HiFi-GAN recipe, AdamW betas
+(0.8, 0.99), exponential decay 0.999/epoch expressed per-step). Batches are
+random fixed-size crops (``segment_size`` samples) of binarized items that
+kept their waveforms (``binarization_args.with_wav: true``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.hparams import HParams
+from ..ops import mel as mel_ops
+from ..ops.stft_loss import multi_resolution_stft_loss
+from ..vocoders import discriminators as D
+from ..vocoders import generator as gen
+
+
+class VocoderTask:
+    def __init__(self, hp: HParams, mesh=None, voc_cfg: Optional[gen.HifiGanConfig] = None):
+        self.hp = hp
+        self.mesh = mesh
+        self.cfg = voc_cfg or gen.HifiGanConfig(
+            num_mels=hp["audio_num_mel_bins"],
+            upsample_initial_channel=int(hp.get("upsample_initial_channel", 512)),
+            upsample_rates=tuple(hp.get("upsample_rates", (8, 8, 2, 2, 2))),
+            upsample_kernel_sizes=tuple(hp.get("upsample_kernel_sizes", (16, 16, 4, 4, 4))),
+            resblock=str(hp.get("resblock", "1")),
+            resblock_kernel_sizes=tuple(hp.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilation_sizes=tuple(tuple(d) for d in hp.get(
+                "resblock_dilation_sizes", ((1, 3, 5),) * 3)),
+            sampling_rate=hp["audio_sample_rate"],
+            use_nsf=bool(hp.get("use_nsf", True)))
+        lr = float(hp.get("vocoder_lr", 2e-4))
+        sched = optax.exponential_decay(lr, transition_steps=1000, decay_rate=0.999)
+        self.tx_g = optax.adamw(sched, b1=0.8, b2=0.99)
+        self.tx_d = optax.adamw(sched, b1=0.8, b2=0.99)
+        self.lambda_mel = float(hp.get("lambda_mel", 45.0))
+        self.lambda_fm = 1.0
+        self.use_stft_loss = bool(hp.get("use_stft_loss", False))
+        self._step_fn = None
+
+    def init_state(self, seed: Optional[int] = None) -> Dict:
+        seed = seed if seed is not None else self.hp.get("seed", 1234)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        g_params = gen.init(k1, self.cfg)
+        d_params = {"mpd": D.init_mpd(k2), "msd": D.init_msd(k3)}
+        return {
+            "g_params": g_params, "d_params": d_params,
+            "g_opt": self.tx_g.init(g_params), "d_opt": self.tx_d.init(d_params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    # ------------------------------------------------------------------
+    def _mel_for_loss(self, wav):
+        hp = self.hp
+        fn = mel_ops.wav2mel_nsf if "nsf" in str(hp.get("vocoder", "nsf")).lower() \
+            else mel_ops.wav2mel_pwg
+        return jax.vmap(lambda w: fn(
+            w, sr=hp["audio_sample_rate"], n_fft=hp["fft_size"],
+            hop=hp["hop_size"], win_length=hp["win_size"],
+            n_mels=hp["audio_num_mel_bins"], fmin=float(hp["fmin"]),
+            fmax=float(hp["fmax"])))(wav)
+
+    def _make_step(self):
+        cfg = self.cfg
+        is_nsf = cfg.use_nsf
+        tx_g, tx_d = self.tx_g, self.tx_d
+        lam_mel, lam_fm = self.lambda_mel, self.lambda_fm
+        use_stft = self.use_stft_loss
+
+        def gen_forward(g_params, batch, rng):
+            mel_in = batch["mels"] * (mel_ops.LN_10 if is_nsf else 1.0)
+            return gen.apply(g_params, cfg, mel_in,
+                             batch.get("f0") if is_nsf else None, rng)
+
+        def d_loss_fn(d_params, y, y_hat):
+            rs, gs, _, _ = D.apply_mpd(d_params["mpd"], y, y_hat)
+            loss = D.discriminator_loss(rs, gs)
+            rs2, gs2, _, _ = D.apply_msd(d_params["msd"], y, y_hat)
+            return loss + D.discriminator_loss(rs2, gs2)
+
+        def g_loss_fn(g_params, d_params, batch, rng):
+            y = batch["wav"]
+            y_hat = gen_forward(g_params, batch, rng)
+            _, gs, fr, fg = D.apply_mpd(d_params["mpd"], y, y_hat)
+            _, gs2, fr2, fg2 = D.apply_msd(d_params["msd"], y, y_hat)
+            adv = D.generator_loss(gs) + D.generator_loss(gs2)
+            fm = D.feature_loss(fr, fg) + D.feature_loss(fr2, fg2)
+            mel_pred = self._mel_for_loss(y_hat)
+            mel_gt = self._mel_for_loss(y)
+            mel_l1 = jnp.abs(mel_pred - mel_gt).mean()
+            loss = adv + lam_fm * fm + lam_mel * mel_l1
+            extras = {"g_adv": adv, "g_fm": fm, "g_mel": mel_l1}
+            if use_stft:
+                sc, mag = multi_resolution_stft_loss(y_hat.reshape(-1), y.reshape(-1))
+                loss = loss + sc + mag
+                extras["g_stft"] = sc + mag
+            return loss, (y_hat, extras)
+
+        def step(state, batch, rng):
+            rng_g = jax.random.fold_in(rng, state["step"])
+            # --- discriminator update ---
+            y_hat = jax.lax.stop_gradient(
+                gen_forward(state["g_params"], batch, rng_g))
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+                state["d_params"], batch["wav"], y_hat)
+            d_updates, d_opt = tx_d.update(d_grads, state["d_opt"],
+                                           state["d_params"])
+            d_params = optax.apply_updates(state["d_params"], d_updates)
+            # --- generator update (vs updated D, standard recipe) ---
+            (g_loss, (_, extras)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state["g_params"], d_params, batch, rng_g)
+            g_updates, g_opt = tx_g.update(g_grads, state["g_opt"],
+                                           state["g_params"])
+            g_params = optax.apply_updates(state["g_params"], g_updates)
+            metrics = {"d_loss": d_loss, "g_loss": g_loss, **extras}
+            new_state = {"g_params": g_params, "d_params": d_params,
+                         "g_opt": g_opt, "d_opt": d_opt,
+                         "step": state["step"] + 1}
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step(self, state, batch: Dict, rng):
+        if self._step_fn is None:
+            self._step_fn = self._make_step()
+        return self._step_fn(state, batch, rng)
+
+
+def crop_batch(items, hp: HParams, rng: np.random.RandomState,
+               segment_frames: int = 32) -> Dict:
+    """Random fixed-size crops for vocoder training: returns mel [B, S, M],
+    wav [B, S*hop], f0 [B, S]."""
+    hop = hp["hop_size"]
+    mels, wavs, f0s = [], [], []
+    for item in items:
+        mel = np.asarray(item["mel"], np.float32)
+        wav = np.asarray(item["wav"], np.float32)
+        f0 = np.asarray(item["f0"], np.float32)
+        max_start = max(mel.shape[0] - segment_frames, 0)
+        s = rng.randint(0, max_start + 1)
+        m = mel[s: s + segment_frames]
+        if m.shape[0] < segment_frames:
+            m = np.pad(m, ((0, segment_frames - m.shape[0]), (0, 0)))
+        w = wav[s * hop: (s + segment_frames) * hop]
+        if len(w) < segment_frames * hop:
+            w = np.pad(w, (0, segment_frames * hop - len(w)))
+        f = f0[s: s + segment_frames]
+        if len(f) < segment_frames:
+            f = np.pad(f, (0, segment_frames - len(f)))
+        mels.append(m)
+        wavs.append(w)
+        f0s.append(f)
+    return {"mels": np.stack(mels), "wav": np.stack(wavs), "f0": np.stack(f0s)}

@@ -1,0 +1,52 @@
+import jax
+import numpy as np
+
+from diffsvc_tpu.config import HParams
+from diffsvc_tpu.training.vocoder_task import VocoderTask, crop_batch
+from diffsvc_tpu.vocoders import generator as gen
+
+
+def test_vocoder_gan_train_step():
+    hp = HParams(
+        audio_sample_rate=8000, audio_num_mel_bins=16, fft_size=256,
+        hop_size=64, win_size=256, fmin=30, fmax=4000, vocoder="nsf_hifigan",
+        use_nsf=True, vocoder_lr=2e-4, lambda_mel=45.0, seed=0)
+    cfg = gen.HifiGanConfig(
+        num_mels=16, upsample_initial_channel=32,
+        upsample_rates=(4, 4, 4), upsample_kernel_sizes=(8, 8, 8),
+        resblock="1", resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), sampling_rate=8000, use_nsf=True)
+    task = VocoderTask(hp, voc_cfg=cfg)
+    state = task.init_state()
+
+    rng = np.random.RandomState(0)
+    B, S = 2, 32  # 32 mel frames -> 2048 samples
+    batch = {
+        "mels": rng.randn(B, S, 16).astype(np.float32) * 0.5 - 2.0,
+        "wav": (rng.randn(B, S * 64) * 0.1).astype(np.float32),
+        "f0": np.full((B, S), 220.0, np.float32),
+    }
+    metrics_hist = []
+    for i in range(2):
+        state, metrics = task.train_step(state, batch, jax.random.PRNGKey(i))
+        metrics_hist.append({k: float(v) for k, v in metrics.items()})
+    for m in metrics_hist:
+        for k, v in m.items():
+            assert np.isfinite(v), (k, v)
+    assert int(state["step"]) == 2
+
+
+def test_crop_batch():
+    hp = HParams(hop_size=64)
+    rng = np.random.RandomState(0)
+    items = [{"mel": rng.randn(100, 16), "wav": rng.randn(100 * 64),
+              "f0": rng.rand(100) * 200} for _ in range(3)]
+    batch = crop_batch(items, hp, rng, segment_frames=32)
+    assert batch["mels"].shape == (3, 32, 16)
+    assert batch["wav"].shape == (3, 32 * 64)
+    assert batch["f0"].shape == (3, 32)
+    # short item padded
+    items.append({"mel": rng.randn(10, 16), "wav": rng.randn(640),
+                  "f0": rng.rand(10)})
+    batch = crop_batch(items, hp, rng, segment_frames=32)
+    assert batch["mels"].shape == (4, 32, 16)
