@@ -31,9 +31,30 @@ def mkdir(paths):
         os.makedirs(p, exist_ok=True)
 
 
+def crossfade_concat(pieces):
+    """Overlap-add chunk waveforms with linear crossfades at the seams.
+
+    pieces: list of (audio, ov_left) where ov_left is how many samples at the
+    start of this piece overlap the previous piece's tail."""
+    if not pieces:
+        return np.zeros(0, np.float32)
+    out = np.asarray(pieces[0][0], np.float32).copy()
+    for audio, ov in pieces[1:]:
+        audio = np.asarray(audio, np.float32)
+        ov = min(ov, len(out), len(audio))
+        if ov > 0:
+            ramp = np.linspace(0.0, 1.0, ov, dtype=np.float32)
+            out[-ov:] = out[-ov:] * (1 - ramp) + audio[:ov] * ramp
+            out = np.concatenate([out, audio[ov:]])
+        else:
+            out = np.concatenate([out, audio])
+    return out
+
+
 def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
              add_noise_step, project_name="", f_name=None, file_path=None,
-             out_path=None, slice_db=-40, audio_format="wav", step=0):
+             out_path=None, slice_db=-40, audio_format="wav", step=0,
+             crossfade_ms: float = 0.0):
     hp = svc_model.hp
     use_pe = use_pe if hp["audio_sample_rate"] == 24000 else False
     raw_audio_path = f"./raw/{f_name}" if file_path is None else file_path
@@ -52,8 +73,25 @@ def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
     write_temp(CHUNKS_CACHE, chunks_dict)
     audio_data, audio_sr = slicer.chunks2audio(wav_path, chunks)
 
+    # crossfade mode: extend each voiced chunk into its neighbors by the
+    # overlap and blend the seams (BASELINE config #3 long-audio path)
+    ov_in = int(audio_sr * crossfade_ms / 1000)
+    if ov_in > 0:
+        spans = [tuple(map(int, v["split_time"].split(",")))
+                 for v in dict(chunks).values()]
+        full_audio, _ = load_wav(wav_path, mono=True)
+        audio_data = []
+        for (a, b), v in zip(spans, dict(chunks).values()):
+            a2 = max(0, a - ov_in)
+            b2 = min(len(full_audio), b + ov_in)
+            audio_data.append((v["slice"], full_audio[a2:b2], a - a2, b2 - b))
+    else:
+        audio_data = [(tag, data, 0, 0) for tag, data in audio_data]
+
+    ov_out_scale = hp["audio_sample_rate"] / audio_sr
+    pieces = []
     f0_tst, f0_pred, out_audio = [], [], []
-    for slice_tag, data in audio_data:
+    for slice_tag, data, ov_l, ov_r in audio_data:
         print(f"#=====segment start, {round(len(data) / audio_sr, 3)}s======")
         length = int(np.ceil(len(data) / audio_sr * hp["audio_sample_rate"]))
         buf = io.BytesIO()
@@ -71,12 +109,18 @@ def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
                 buf, key=key, acc=acc, use_pe=use_pe, use_crepe=use_crepe,
                 thre=thre, use_gt_mel=use_gt_mel, add_noise_step=add_noise_step)
         # mean-fill length fix (reference infer.py:61-66)
-        fix_audio = np.full(length, np.mean(_audio))
+        fix_audio = np.full(length, np.mean(_audio) if len(_audio) else 0.0)
         fix_audio[: len(_audio)] = _audio[0 if len(_audio) < len(fix_audio)
                                           else len(_audio) - len(fix_audio):]
         f0_tst.extend(_f0_tst)
         f0_pred.extend(_f0_pred)
-        out_audio.extend(list(fix_audio))
+        if ov_in > 0:
+            pieces.append((fix_audio, int(round(ov_l * ov_out_scale))))
+        else:
+            out_audio.extend(list(fix_audio))
+
+    if ov_in > 0:
+        out_audio = crossfade_concat(pieces)
 
     if out_path is None:
         out_path = (f"./results/{clean_name}_{key}key_{project_name}_"
@@ -103,6 +147,8 @@ if __name__ == "__main__":
     ap.add_argument("--use_gt_mel", action="store_true")
     ap.add_argument("--add_noise_step", type=int, default=500)
     ap.add_argument("--format", default="wav")
+    ap.add_argument("--crossfade_ms", type=float, default=0.0,
+                    help="blend chunk seams with linear crossfades")
     args = ap.parse_args()
 
     model_path = args.model or f"./checkpoints/{args.project}/"
@@ -123,4 +169,5 @@ if __name__ == "__main__":
                  use_gt_mel=args.use_gt_mel, add_noise_step=args.add_noise_step,
                  f_name=os.path.basename(f_name), file_path=file_path,
                  project_name=args.project, slice_db=args.slice_db,
-                 audio_format=args.format, step=step)
+                 audio_format=args.format, step=step,
+                 crossfade_ms=args.crossfade_ms)

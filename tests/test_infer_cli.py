@@ -1,0 +1,29 @@
+import numpy as np
+
+from infer import crossfade_concat, fill_a_to_b
+
+
+def test_crossfade_concat_blends_seams():
+    a = np.ones(100, np.float32)
+    b = np.full(100, 3.0, np.float32)
+    out = crossfade_concat([(a, 0), (b, 20)])
+    assert len(out) == 180
+    # before the seam: pure a; after: pure b; inside: monotone blend
+    assert out[70] == 1.0
+    assert out[150] == 3.0
+    seam = out[80:100]
+    assert (np.diff(seam) >= 0).all()
+    assert seam[0] <= 1.2 and seam[-1] >= 2.8
+
+
+def test_crossfade_concat_no_overlap():
+    a = np.ones(10, np.float32)
+    b = np.zeros(10, np.float32)
+    out = crossfade_concat([(a, 0), (b, 0)])
+    np.testing.assert_array_equal(out, np.concatenate([a, b]))
+
+
+def test_fill_a_to_b():
+    a = [1]
+    fill_a_to_b(a, [0, 0, 0])
+    assert a == [1, 1, 1]

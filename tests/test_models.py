@@ -242,3 +242,19 @@ def test_sine_gen_unvoiced_noise_only():
     s = np.asarray(sines)
     assert np.abs(s).max() < 0.2  # noise at sine_amp/3
     assert s.std() > 0.0
+
+
+def test_fs2_spk_id_conditioning():
+    cfg = _fs2_cfg(use_spk_id=True, num_spk=4)
+    params = fs2.init(jax.random.PRNGKey(0), cfg)
+    hubert = jnp.ones((2, 4, 16))
+    mel2ph = jnp.ones((2, 8), jnp.int32)
+    f0 = jnp.full((2, 8), 7.78)
+    r1 = fs2.apply(params, cfg, hubert, mel2ph, f0,
+                   spk_embed=jnp.array([1, 1]))
+    r2 = fs2.apply(params, cfg, hubert, mel2ph, f0,
+                   spk_embed=jnp.array([1, 2]))
+    a1 = np.asarray(r1["decoder_inp"])
+    a2 = np.asarray(r2["decoder_inp"])
+    np.testing.assert_allclose(a1[0], a2[0], rtol=1e-6)  # same speaker
+    assert not np.allclose(a1[1], a2[1])  # different speaker changes cond
