@@ -23,6 +23,10 @@ def log(*a):
 
 def main():
     import jax
+
+    from diffsvc_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from diffsvc_tpu.config import HParams

@@ -77,6 +77,10 @@ class Svc:
         self.model_path = model_path
         self.pad_multiple = pad_multiple  # length bucketing for XLA reuse
 
+        from ..utils.compile_cache import enable as _enable_compile_cache
+
+        _enable_compile_cache()
+
         self.hp = set_hparams(config=config_name, exp_name=project_name,
                               infer=True, reset=True, hparams_str="",
                               print_hparams=False)

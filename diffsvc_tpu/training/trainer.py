@@ -40,6 +40,9 @@ def resolve_task_cls(name: str):
 class Trainer:
     def __init__(self, hp: HParams, use_mesh: bool = True,
                  log_writer=None, task_cls=None):
+        from ..utils.compile_cache import enable as _enable_compile_cache
+
+        _enable_compile_cache()
         self.hp = hp
         self.work_dir = hp["work_dir"]
         os.makedirs(self.work_dir, exist_ok=True)
