@@ -9,9 +9,9 @@ a flask app factory is provided for environments that have it.
 """
 
 import argparse
-import cgi
 import io
-import re
+from email.parser import BytesParser
+from email.policy import default as email_default_policy
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import numpy as np
@@ -22,10 +22,25 @@ from diffsvc_tpu.utils.audio_io import resample
 
 
 def _infer_wav(model, acc, wav_bytes: bytes, f_pitch_change: float,
-               daw_sample: int) -> bytes:
+               daw_sample: int, fused: bool = False) -> bytes:
     input_wav = io.BytesIO(wav_bytes)
-    _f0_tst, _f0_pred, _audio = model.infer(
-        input_wav, key=f_pitch_change, acc=acc, use_pe=False, use_crepe=False)
+    if fused:
+        # bounded-latency path: the whole pipeline is one XLA program per
+        # length bucket (set fused_bucket_samples in the config to bound
+        # the number of compiled buckets for streaming buffers)
+        from diffsvc_tpu.utils.audio_io import load_wav
+
+        wav, _ = load_wav(input_wav, sr=model.hp["audio_sample_rate"])
+        true_len = len(wav)
+        model.hp.setdefault("fused_bucket_samples",
+                            model.hp["hop_size"] * 256)
+        _audio, _f0, _mel = model.infer_fused(wav, key=int(f_pitch_change),
+                                              acc=acc)
+        _audio = np.asarray(_audio)[:true_len]
+    else:
+        _f0_tst, _f0_pred, _audio = model.infer(
+            input_wav, key=f_pitch_change, acc=acc, use_pe=False,
+            use_crepe=False)
     tar = resample(np.asarray(_audio, np.float32),
                    model.hp["audio_sample_rate"], daw_sample)
     out = io.BytesIO()
@@ -33,7 +48,7 @@ def _infer_wav(model, acc, wav_bytes: bytes, f_pitch_change: float,
     return out.getvalue()
 
 
-def make_handler(model, accelerate):
+def make_handler(model, accelerate, fused=False):
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
             if self.path != "/voiceChangeModel":
@@ -43,16 +58,24 @@ def make_handler(model, accelerate):
             if "multipart/form-data" not in ctype:
                 self.send_error(400, "expected multipart/form-data")
                 return
-            form = cgi.FieldStorage(
-                fp=self.rfile, headers=self.headers,
-                environ={"REQUEST_METHOD": "POST",
-                         "CONTENT_TYPE": ctype})
-            wav_bytes = form["sample"].file.read()
-            f_pitch_change = float(form.getvalue("fPitchChange", 0))
-            daw_sample = int(float(form.getvalue("sampleRate", 44100)))
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
+            msg = BytesParser(policy=email_default_policy).parsebytes(
+                b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + raw)
+            fields = {}
+            wav_bytes = b""
+            for part in msg.iter_parts():
+                name = part.get_param("name",
+                                      header="content-disposition")
+                if name == "sample":
+                    wav_bytes = part.get_payload(decode=True)
+                elif name:
+                    fields[name] = part.get_payload(decode=True).decode()
+            f_pitch_change = float(fields.get("fPitchChange", 0))
+            daw_sample = int(float(fields.get("sampleRate", 44100)))
             try:
                 body = _infer_wav(model, accelerate, wav_bytes,
-                                  f_pitch_change, daw_sample)
+                                  f_pitch_change, daw_sample, fused=fused)
             except Exception as e:  # pragma: no cover
                 self.send_error(500, str(e))
                 return
@@ -96,12 +119,15 @@ if __name__ == "__main__":
     ap.add_argument("--config", default=None)
     ap.add_argument("--acc", type=int, default=50)
     ap.add_argument("--port", type=int, default=6842)
+    ap.add_argument("--fused", action="store_true",
+                    help="serve via the fused single-dispatch graph")
     args = ap.parse_args()
 
     model_path = args.model or f"./checkpoints/{args.project}/"
     config_path = args.config or f"./checkpoints/{args.project}/config.yaml"
     model = Svc(args.project, config_path, True, model_path)
 
-    server = HTTPServer(("0.0.0.0", args.port), make_handler(model, args.acc))
+    server = HTTPServer(("0.0.0.0", args.port),
+                        make_handler(model, args.acc, fused=args.fused))
     print(f"| serving /voiceChangeModel on :{args.port}")
     server.serve_forever()

@@ -1,0 +1,61 @@
+"""HTTP service layer: multipart parsing, inference dispatch, wav response."""
+
+import io
+import threading
+import urllib.request
+from http.server import HTTPServer
+
+import numpy as np
+from scipy.io import wavfile
+
+from flask_api import make_handler
+
+
+class FakeModel:
+    hp = {"audio_sample_rate": 8000, "hop_size": 64}
+
+    def infer(self, input_wav, key, acc, use_pe, use_crepe):
+        sr, data = wavfile.read(input_wav)
+        wav = data.astype(np.float32) / 32768.0
+        self.last_key = key
+        return np.zeros(10), np.zeros(10), wav * 0.5
+
+
+def _multipart(fields, file_bytes):
+    boundary = "testboundary123"
+    body = b""
+    for k, v in fields.items():
+        body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="{k}"\r\n\r\n{v}\r\n').encode()
+    body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+             f'name="sample"; filename="in.wav"\r\n'
+             "Content-Type: audio/wav\r\n\r\n").encode()
+    body += file_bytes + f"\r\n--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def test_voice_change_endpoint():
+    model = FakeModel()
+    server = HTTPServer(("127.0.0.1", 0), make_handler(model, accelerate=50))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        sr = 8000
+        wav = (0.4 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+        buf = io.BytesIO()
+        wavfile.write(buf, sr, (wav * 32767).astype(np.int16))
+        body, ctype = _multipart({"fPitchChange": "2", "sampleRate": "16000"},
+                                 buf.getvalue())
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/voiceChangeModel", data=body,
+            headers={"Content-Type": ctype}, method="POST")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+            out_bytes = resp.read()
+        out_sr, out = wavfile.read(io.BytesIO(out_bytes))
+        assert out_sr == 16000  # resampled to the DAW rate
+        assert len(out) > 0
+        assert model.last_key == 2.0
+    finally:
+        server.shutdown()
