@@ -27,7 +27,6 @@ from pathlib import Path
 from typing import Dict, List
 
 import numpy as np
-import yaml
 
 from ..config.hparams import HParams, write_back_spec_stats
 from . import features

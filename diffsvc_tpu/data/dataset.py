@@ -20,7 +20,7 @@ import numpy as np
 from ..config.hparams import HParams
 from . import features
 from .indexed_datasets import IndexedDataset
-from .batching import batch_by_size, filter_divisible, ordered_indices
+from .batching import batch_by_size, ordered_indices
 
 
 class FastSpeechDataset:

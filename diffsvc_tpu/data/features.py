@@ -13,7 +13,6 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..config.hparams import HParams
-from ..ops import mel as mel_ops
 from ..ops.f0_ac import get_pitch_ac
 from ..ops.pitch import norm_interp_f0_np
 

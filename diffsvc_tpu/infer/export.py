@@ -23,7 +23,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _export_fn(fn, args, path: str):

@@ -18,8 +18,7 @@ feature extraction into the diffusion prologue and the vocoder epilogue.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ import functools
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from . import hubert as hubert_model

@@ -13,7 +13,7 @@ Torch-compatible weight storage conventions (for checkpoint converters):
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

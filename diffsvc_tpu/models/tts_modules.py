@@ -15,7 +15,6 @@ plain pytrees.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ fall back to the AC tracker (data/features.py).
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, Optional
 

@@ -34,7 +34,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # pallas requires a TPU-capable lowering; import lazily
     from jax.experimental import pallas as pl

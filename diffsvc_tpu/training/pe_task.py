@@ -11,7 +11,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..config.hparams import HParams

@@ -14,17 +14,14 @@ sharded, params/opt-state replicated, gradient mean = global batch mean
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..config.hparams import HParams
 from ..models.diffusion import GaussianDiffusion
-from ..parallel import mesh as mesh_lib
 from .scheduler import build_lr_schedule
 
 

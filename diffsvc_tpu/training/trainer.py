@@ -14,7 +14,6 @@ Parity targets (reference ``utils/pl_utils.py`` semantics, SURVEY.md §2.2):
 from __future__ import annotations
 
 import os
-import sys
 import time
 from typing import Dict, Optional
 

@@ -14,7 +14,7 @@ kept their waveforms (``binarization_args.with_wav: true``).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import multiprocessing
 import traceback
-from typing import Callable, Iterable, List
+from typing import Callable, List
 
 
 def _worker(fn, in_q, out_q):

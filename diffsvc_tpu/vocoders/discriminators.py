@@ -10,11 +10,9 @@ first-class so the vocoder can be fine-tuned on-TPU with the same losses.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models import nn
 

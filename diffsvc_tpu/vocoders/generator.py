@@ -13,7 +13,6 @@ stack and dilated resblocks compile to MXU-tiled convolutions under XLA.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
