@@ -344,3 +344,19 @@ class GaussianDiffusion:
             mel_out = mel_out * (batch["mel2ph"] > 0).astype(mel_out.dtype)[:, :, None]
         ret["mel_out"] = mel_out
         return ret
+
+
+class OfflineGaussianDiffusion(GaussianDiffusion):
+    """Variant taking precomputed fs2 mels as the sampling start
+    (reference diffusion.py:299-332; unused by the SVC task). ``ref_mels``
+    is (gt_mels, fs2_mels): training uses gt, inference q_samples from the
+    fs2 mel at K_step-1 unless ``gaussian_start``."""
+
+    def infer(self, params, batch, rng, *, speedup=None, **kwargs):
+        fs2_mels = batch.get("fs2_mels")
+        if fs2_mels is None or self.hp.get("gaussian_start", True):
+            return super().infer(params, batch, rng, speedup=speedup, **kwargs)
+        b2 = dict(batch)
+        b2["mels"] = fs2_mels
+        return super().infer(params, b2, rng, speedup=speedup,
+                             use_gt_mel=True, add_noise_step=self.cfg.K_step)

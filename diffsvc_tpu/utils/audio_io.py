@@ -94,3 +94,37 @@ def format_wav(in_path: str, out_path: Optional[str] = None) -> str:
         return out_path
     raise ValueError(
         f"Non-WAV input {in_path}: convert to WAV first (ffmpeg -i in out.wav)")
+
+
+def trim_long_silences(wav: np.ndarray, sr: int,
+                       vad_window_ms: int = 30,
+                       moving_average_width: int = 8,
+                       max_silence_length: int = 12,
+                       db_threshold: float = -40.0):
+    """Energy-based VAD silence trimming (the reference's optional
+    ``trim_long_sil`` path used webrtcvad; this is the in-repo equivalent:
+    framewise dB gate + moving-average smoothing + dilation).
+
+    Returns (trimmed_wav, mask)."""
+    spw = int(sr * vad_window_ms / 1000)
+    n = len(wav) - (len(wav) % spw)
+    frames = wav[:n].reshape(-1, spw)
+    rms = np.sqrt((frames**2).mean(axis=1))
+    voiced = 20 * np.log10(np.maximum(rms, 1e-10)) > db_threshold
+
+    # moving-average smoothing
+    w = moving_average_width
+    padded = np.concatenate([np.zeros((w - 1) // 2), voiced.astype(float),
+                             np.zeros(w // 2)])
+    c = np.cumsum(padded)
+    smooth = (c[w:] - c[:-w]) if len(c) > w else voiced.astype(float)
+    smooth = np.round(np.concatenate([[voiced[0]], smooth / w])[: len(voiced)])
+
+    # dilate voiced regions
+    mask = smooth.astype(bool)
+    for _ in range(max_silence_length):
+        mask = mask | np.roll(mask, 1) | np.roll(mask, -1)
+    sample_mask = np.repeat(mask, spw)
+    sample_mask = np.concatenate(
+        [sample_mask, np.ones(len(wav) - len(sample_mask), bool)])
+    return wav[sample_mask], sample_mask

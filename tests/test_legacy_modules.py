@@ -1,0 +1,99 @@
+"""Legacy/aux modules: text encoder, MelGAN, source variants, VAD trim,
+OfflineGaussianDiffusion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsvc_tpu.utils.text_encoder import PAD_ID, TokenTextEncoder
+
+
+def test_token_text_encoder_roundtrip():
+    enc = TokenTextEncoder(["a", "b", "c"], replace_oov="|")
+    assert enc.vocab_size == 6  # 3 reserved + 3
+    ids = enc.encode("a c b")
+    assert enc.decode(ids) == "a c b"
+    assert enc.pad() == PAD_ID
+    # oov replaced only if '|' in vocab; here it maps through replace_oov
+    enc2 = TokenTextEncoder(["a", "|"], replace_oov="|")
+    assert enc2.decode(enc2.encode("a zz")) == "a |"
+    # strip padding
+    assert enc.decode([PAD_ID] + enc.encode("a"), strip_padding=True) == "a"
+
+
+def test_melgan_generator_shapes():
+    from diffsvc_tpu.vocoders import melgan
+
+    cfg = melgan.MelGANConfig(in_channels=16, channels=64,
+                              upsample_scales=(4, 4, 2), stacks=2)
+    params = melgan.init(jax.random.PRNGKey(0), cfg)
+    mel = jnp.asarray(np.random.RandomState(0).randn(1, 20, 16), jnp.float32)
+    wav = melgan.apply(params, cfg, mel)
+    assert wav.shape == (1, 20 * 32)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_pulse_gen():
+    from diffsvc_tpu.vocoders.source import pulse_gen
+
+    sr = 8000
+    f0 = jnp.full((1, sr), 100.0)
+    pulses, uv = pulse_gen(jax.random.PRNGKey(0), f0, sr, noise_std=0.0)
+    p = np.asarray(pulses[0])
+    # ~100 pulses per second
+    assert abs((p > 0.05).sum() - 100) <= 3
+    assert np.asarray(uv).min() == 1.0
+
+
+def test_cyclic_noise_gen():
+    from diffsvc_tpu.vocoders.source import cyclic_noise_gen
+
+    sr = 8000
+    f0 = jnp.concatenate([jnp.full((1, sr // 2), 100.0),
+                          jnp.zeros((1, sr // 2))], axis=1)
+    sig, uv = cyclic_noise_gen(jax.random.PRNGKey(0), f0, sr)
+    s = np.asarray(sig[0])
+    assert np.isfinite(s).all()
+    # voiced part much louder than unvoiced noise floor
+    assert np.abs(s[: sr // 2]).std() > np.abs(s[sr // 2:]).std()
+
+
+def test_trim_long_silences():
+    from diffsvc_tpu.utils.audio_io import trim_long_silences
+
+    sr = 24000
+    wav = np.concatenate([np.zeros(sr * 2, np.float32),
+                          0.5 * np.ones(sr, np.float32),
+                          np.zeros(sr * 2, np.float32)])
+    trimmed, mask = trim_long_silences(wav, sr)
+    assert len(trimmed) < len(wav)
+    # the voiced second survives fully
+    assert mask[sr * 2: sr * 3].all()
+
+
+def test_offline_gaussian_diffusion():
+    from diffsvc_tpu.config import HParams
+    from diffsvc_tpu.models.diffusion import OfflineGaussianDiffusion
+
+    hp = HParams(
+        audio_num_mel_bins=8, hidden_size=16, residual_layers=4,
+        residual_channels=16, dilation_cycle_length=4, timesteps=10,
+        K_step=10, diff_loss_type="l2", schedule_type="linear", max_beta=0.02,
+        keep_bins=8, spec_min=[-6.0], spec_max=[1.5], no_fs2=True,
+        use_pitch_embed=True, use_energy_embed=False, use_uv=False,
+        pitch_norm="log", f0_bin=256, f0_min=50.0, f0_max=1100.0,
+        pndm_speedup=5, gaussian_start=False)
+    model = OfflineGaussianDiffusion(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = {
+        "hubert": jnp.ones((1, 4, 16)) * 0.1,
+        "mel2ph": jnp.ones((1, 8), jnp.int32),
+        "f0": jnp.full((1, 8), 7.78),
+        "uv": jnp.zeros((1, 8)),
+        "energy": jnp.zeros((1, 8)),
+        "mels": jnp.zeros((1, 8, 8)),
+        "fs2_mels": jnp.full((1, 8, 8), -3.0),
+    }
+    out = model.infer(params, batch, jax.random.PRNGKey(1))
+    assert out["mel_out"].shape == (1, 8, 8)
+    assert np.isfinite(np.asarray(out["mel_out"])).all()
