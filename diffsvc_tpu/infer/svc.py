@@ -168,6 +168,57 @@ class Svc:
             batch["f0_pred"] = np.asarray(outputs["f0_denorm"])
         return self.after_infer(batch, singer, in_path)
 
+    def infer_batched(self, inputs, key: int, acc: int, use_pe=True,
+                      use_crepe=True, thre=0.05, seed=0):
+        """Convert MANY clips/chunks with batched device work.
+
+        Feature extraction runs per clip (cached/bucketed); clips are then
+        grouped by padded mel length and each group runs ONE diffusion
+        sampling and ONE batched vocoder call — for sliced long audio this
+        collapses dozens of device dispatches into a few. Returns a list of
+        (f0_gt, f0_pred, wav_pred) in input order.
+
+        Not in the reference (it loops chunks one by one); outputs per chunk
+        match ``infer()`` up to the shared-batch RNG draw.
+        """
+        samples = []
+        for in_path in inputs:
+            batch1 = self.pre(in_path, acc, use_crepe, thre)
+            batch1["f0"] = batch1["f0"] + (key / 12)
+            batch1["f0"][batch1["f0"] > np.log2(self.hp["f0_max"])] = 0
+            samples.append(batch1)
+
+        # group indices by (mel_len_padded, hubert_len_padded)
+        groups = {}
+        for i, b in enumerate(samples):
+            k = (b["mels"].shape[1], b["hubert"].shape[1])
+            groups.setdefault(k, []).append(i)
+
+        results = [None] * len(samples)
+        use_pe_eff = use_pe and self.pe_params is not None
+        for (t_mel, t_ph), idxs in groups.items():
+            stack = {k: np.concatenate([samples[i][k] for i in idxs], axis=0)
+                     for k in ("hubert", "mels", "mel2ph", "energy", "f0", "uv")}
+            jbatch = {k: jnp.asarray(v) for k, v in stack.items()}
+            outputs = self._jit_infer(int(acc))(
+                self.params, jbatch, jax.random.PRNGKey(seed))
+            mel_out = np.asarray(outputs["mel_out"])
+            if use_pe_eff:
+                f0_pred_all = np.asarray(pe_model.apply(
+                    self.pe_params, self.pe_cfg,
+                    outputs["mel_out"])["f0_denorm_pred"])
+            else:
+                f0_pred_all = np.asarray(outputs["f0_denorm"])
+            f0_gt_all = np.asarray(denorm_f0(
+                stack["f0"], stack["uv"],
+                pitch_norm=self.hp.get("pitch_norm", "log"),
+                use_uv=self.hp.get("use_uv", False)))
+            for j, i in enumerate(idxs):
+                pred = {"mels": stack["mels"][j], "outputs": mel_out[j],
+                        "f0_gt": f0_gt_all[j], "f0_pred": f0_pred_all[j]}
+                results[i] = self.after_infer(pred)
+        return results
+
     def after_infer(self, prediction, singer=False, in_path=""):
         """Unpad by nonzero-mel mask, clip, vocode (infer_tool.py:171-201)."""
         mel_gt = prediction["mels"][0] if prediction["mels"].ndim == 3 else prediction["mels"]

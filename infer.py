@@ -54,7 +54,7 @@ def crossfade_concat(pieces):
 def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
              add_noise_step, project_name="", f_name=None, file_path=None,
              out_path=None, slice_db=-40, audio_format="wav", step=0,
-             crossfade_ms: float = 0.0):
+             crossfade_ms: float = 0.0, batch_chunks: bool = False):
     hp = svc_model.hp
     use_pe = use_pe if hp["audio_sample_rate"] == 24000 else False
     raw_audio_path = f"./raw/{f_name}" if file_path is None else file_path
@@ -89,9 +89,27 @@ def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
         audio_data = [(tag, data, 0, 0) for tag, data in audio_data]
 
     ov_out_scale = hp["audio_sample_rate"] / audio_sr
+
+    # batched mode: run all voiced chunks' diffusion as grouped batches
+    batched_results = None
+    if batch_chunks:
+        bufs, voiced_idx = [], []
+        for i, (slice_tag, data, ov_l, ov_r) in enumerate(audio_data):
+            if not slice_tag:
+                buf = io.BytesIO()
+                from scipy.io import wavfile as _wavfile
+
+                _wavfile.write(buf, audio_sr, data.astype(np.float32))
+                buf.seek(0)
+                bufs.append(buf)
+                voiced_idx.append(i)
+        res = svc_model.infer_batched(bufs, key=key, acc=acc, use_pe=use_pe,
+                                      use_crepe=use_crepe, thre=thre)
+        batched_results = dict(zip(voiced_idx, res))
+
     pieces = []
     f0_tst, f0_pred, out_audio = [], [], []
-    for slice_tag, data, ov_l, ov_r in audio_data:
+    for chunk_i, (slice_tag, data, ov_l, ov_r) in enumerate(audio_data):
         print(f"#=====segment start, {round(len(data) / audio_sr, 3)}s======")
         length = int(np.ceil(len(data) / audio_sr * hp["audio_sample_rate"]))
         buf = io.BytesIO()
@@ -104,6 +122,8 @@ def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
             n_frames = int(np.ceil(length / hp["hop_size"]))
             _f0_tst, _f0_pred, _audio = (np.zeros(n_frames), np.zeros(n_frames),
                                          np.zeros(length))
+        elif batched_results is not None:
+            _f0_tst, _f0_pred, _audio = batched_results[chunk_i]
         else:
             _f0_tst, _f0_pred, _audio = svc_model.infer(
                 buf, key=key, acc=acc, use_pe=use_pe, use_crepe=use_crepe,
@@ -149,6 +169,8 @@ if __name__ == "__main__":
     ap.add_argument("--format", default="wav")
     ap.add_argument("--crossfade_ms", type=float, default=0.0,
                     help="blend chunk seams with linear crossfades")
+    ap.add_argument("--batch_chunks", action="store_true",
+                    help="run same-length chunks as batched device calls")
     args = ap.parse_args()
 
     model_path = args.model or f"./checkpoints/{args.project}/"
@@ -170,4 +192,4 @@ if __name__ == "__main__":
                  f_name=os.path.basename(f_name), file_path=file_path,
                  project_name=args.project, slice_db=args.slice_db,
                  audio_format=args.format, step=step,
-                 crossfade_ms=args.crossfade_ms)
+                 crossfade_ms=args.crossfade_ms, batch_chunks=args.batch_chunks)

@@ -191,3 +191,22 @@ def test_e2e_use_gt_mel(svc, tmp_path):
                                use_crepe=False, use_gt_mel=True,
                                add_noise_step=20)
     assert np.isfinite(wav_pred).all() and len(wav_pred) > 0
+
+
+def test_e2e_infer_batched(svc, tmp_path):
+    """Grouped-batch inference returns per-clip results in input order."""
+    paths = []
+    for i, secs in enumerate((0.8, 0.8, 0.5)):
+        p = tmp_path / f"b{i}.wav"
+        _write_test_wav(p, secs=secs, freq=200.0 + 40 * i)
+        paths.append(str(p))
+    results = svc.infer_batched(paths, key=0, acc=10, use_pe=False,
+                                use_crepe=False)
+    assert len(results) == 3
+    for i, (f0_gt, f0_pred, wav_pred) in enumerate(results):
+        assert np.isfinite(wav_pred).all() and len(wav_pred) > 0
+        voiced = f0_gt[f0_gt > 0]
+        assert abs(np.median(voiced) - (200.0 + 40 * i)) < 15
+    # equal-length clips should yield equal-length outputs
+    assert len(results[0][2]) == len(results[1][2])
+    assert len(results[2][2]) < len(results[0][2])
