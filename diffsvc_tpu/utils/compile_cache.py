@@ -10,6 +10,7 @@ milliseconds. Enabled by default by the CLIs; opt out with
 from __future__ import annotations
 
 import os
+import sys
 
 _enabled = False
 
@@ -28,7 +29,7 @@ def enable(cache_dir: str = "") -> bool:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _enabled = True
-        print(f"| compilation cache: {cache_dir}")
+        print(f"| compilation cache: {cache_dir}", file=sys.stderr)
     except Exception as e:  # pragma: no cover
-        print(f"| compilation cache unavailable: {e}")
+        print(f"| compilation cache unavailable: {e}", file=sys.stderr)
     return _enabled
