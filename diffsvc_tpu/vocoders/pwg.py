@@ -1,14 +1,24 @@
-"""ParallelWaveGAN generator (legacy 24 kHz vocoder slot).
+"""ParallelWaveGAN generator (legacy 24 kHz vocoder slot), official layout.
 
-The reference vendors ~2.8 kLoC of parallel_wavegan; in this framework the
-PWG path shares the HiFi-GAN infrastructure and the canonical wav2spec. The
-WaveNet generator itself is implemented functionally below (kernel 3 gated
-dilated stack with upsampled aux features), sufficient to run converted
-official PWG checkpoints.
+Functional JAX port matching the vendored parallel_wavegan generator
+(reference ``modules/parallel_wavegan/models/parallel_wavegan.py:21-205``):
+
+- ``first_conv`` 1x1 on the noise input,
+- ``upsample_net``: ConvInUpsampleNetwork — aux context conv (bias-free,
+  kernel 2*aux_context_window+1) then per-scale [Stretch2d, bias-free
+  Conv2d(1, 2*scale+1)] pairs,
+- 30 residual blocks: dilated conv -> gated tanh/sigmoid halves with aux
+  1x1 adds -> separate res / skip 1x1 convs, residual scaled by sqrt(0.5),
+- ``last_conv_layers``: relu -> 1x1 -> relu -> 1x1.
+
+Weight-norm is folded at conversion; official checkpoints
+(``checkpoint-*.pkl`` with ``model.generator``) and reference-trainer ckpts
+(``state_dict.model_gen``) both load.
 """
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Tuple
 
 import jax
@@ -29,10 +39,13 @@ class PWGConfig(NamedTuple):
     skip_channels: int = 64
     aux_channels: int = 80
     aux_context_window: int = 2
-    upsample_scales: Tuple[int, ...] = (4, 4, 4, 2)
+    upsample_scales: Tuple[int, ...] = (4, 4, 4, 4)
+    use_pitch_embed: bool = False
 
     @classmethod
     def from_dict(cls, g: dict):
+        ups = g.get("upsample_params", {}).get("upsample_scales",
+                                               g.get("upsample_scales", (4, 4, 4, 4)))
         return cls(
             in_channels=g.get("in_channels", 1),
             out_channels=g.get("out_channels", 1),
@@ -44,53 +57,79 @@ class PWGConfig(NamedTuple):
             skip_channels=g.get("skip_channels", 64),
             aux_channels=g.get("aux_channels", 80),
             aux_context_window=g.get("aux_context_window", 2),
-            upsample_scales=tuple(g.get("upsample_params", {}).get("upsample_scales", (4, 4, 4, 2))),
+            upsample_scales=tuple(ups),
+            use_pitch_embed=bool(g.get("use_pitch_embed", False)),
         )
 
 
 def init(key, cfg: PWGConfig):
-    keys = iter(jax.random.split(key, 8 + 4 * cfg.layers))
+    keys = iter(jax.random.split(key, 16 + 4 * cfg.layers))
     rc, gc, sc = cfg.residual_channels, cfg.gate_channels, cfg.skip_channels
     aux_k = 2 * cfg.aux_context_window + 1
     p = {
         "first_conv": nn.init_conv1d(next(keys), 1, cfg.in_channels, rc),
-        "aux_conv": nn.init_conv1d(next(keys), aux_k, cfg.aux_channels, cfg.aux_channels, bias=False),
+        "upsample_conv_in": nn.init_conv1d(next(keys), aux_k, cfg.aux_channels,
+                                           cfg.aux_channels, bias=False),
+        "upsample_convs": [
+            {"w": jnp.full((1, 2 * s + 1), 1.0 / (2 * s + 1))}
+            for s in cfg.upsample_scales],
         "layers": [],
         "last_conv1": nn.init_conv1d(next(keys), 1, sc, sc),
         "last_conv2": nn.init_conv1d(next(keys), 1, sc, cfg.out_channels),
     }
-    layers_per_stack = cfg.layers // cfg.stacks
-    for i in range(cfg.layers):
+    for _ in range(cfg.layers):
         p["layers"].append({
             "conv": nn.init_conv1d(next(keys), cfg.kernel_size, rc, gc),
             "aux": nn.init_conv1d(next(keys), 1, cfg.aux_channels, gc, bias=False),
-            "out": nn.init_conv1d(next(keys), 1, gc // 2, rc + sc),
+            "out": nn.init_conv1d(next(keys), 1, gc // 2, rc),
+            "skip": nn.init_conv1d(next(keys), 1, gc // 2, sc),
         })
     return p
 
 
+def upsample_aux(params, cfg: PWGConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """ConvInUpsampleNetwork: context conv then stretch+smooth per scale.
+
+    mel [B, T, M] -> [B, T*prod(scales), M] (caller trims the context pad)."""
+    c = nn.conv1d(params["upsample_conv_in"], mel,
+                  padding=0)  # valid: consumes the context window
+    for s, up in zip(cfg.upsample_scales, params["upsample_convs"]):
+        c = jnp.repeat(c, s, axis=1)  # Stretch2d (nearest in time)
+        # bias-free smoothing conv along time, per channel (torch Conv2d
+        # with kernel (1, 2s+1) acts identically on every mel channel)
+        k = up["w"].shape[1]
+        w = jnp.broadcast_to(up["w"][0][:, None, None], (k, 1, 1))
+        b, t, m = c.shape
+        cc = c.transpose(0, 2, 1).reshape(b * m, t, 1)
+        cc = jax.lax.conv_general_dilated(
+            cc, w, (1,), [(k // 2, k // 2)],
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        c = cc.reshape(b, m, t).transpose(0, 2, 1)
+    return c
+
+
 def apply(params, cfg: PWGConfig, z, mel):
-    """z [B, L] noise at sample rate, mel [B, T, M] (already scaler-normed).
-    Returns wav [B, L]."""
-    # aux upsample: context conv then nearest-stretch to sample rate
-    aux = nn.conv1d(params["aux_conv"], mel, padding=cfg.aux_context_window)
-    total = int(np.prod(cfg.upsample_scales))
-    aux = jnp.repeat(aux, total, axis=1)[:, : z.shape[1]]
+    """z [B, L] noise at sample rate, mel [B, T, M] (scaler-normalized).
+    Returns wav [B, L]. L must equal (T - 2*aux_context_window)*prod(scales).
+    """
+    aux = upsample_aux(params, cfg, mel)
+    aux = aux[:, : z.shape[1]]
 
     x = nn.conv1d(params["first_conv"], z[:, :, None])
     skips = 0.0
     layers_per_stack = cfg.layers // cfg.stacks
+    half = cfg.gate_channels // 2
     for i, lp in enumerate(params["layers"]):
         dilation = 2 ** (i % layers_per_stack)
         y = nn.conv1d(lp["conv"], x, dilation=dilation)
         y = y + nn.conv1d(lp["aux"], aux)
-        a, b = jnp.split(y, 2, axis=-1)
-        y = jnp.tanh(a) * jax.nn.sigmoid(b)
-        out = nn.conv1d(lp["out"], y)
-        res, skip = out[..., : x.shape[-1]], out[..., x.shape[-1]:]
-        x = (x + res) * (0.5**0.5)
+        xa, xb = y[..., :half], y[..., half:]
+        y = jnp.tanh(xa) * jax.nn.sigmoid(xb)
+        res = nn.conv1d(lp["out"], y)
+        skip = nn.conv1d(lp["skip"], y)
+        x = (x + res) * math.sqrt(0.5)
         skips = skips + skip
-    s = skips * (1.0 / np.sqrt(cfg.layers))
+    s = skips * math.sqrt(1.0 / cfg.layers)
     s = jax.nn.relu(s)
     s = nn.conv1d(params["last_conv1"], s)
     s = jax.nn.relu(s)
@@ -98,11 +137,86 @@ def apply(params, cfg: PWGConfig, z, mel):
     return s[:, :, 0]
 
 
-class PWGGenerator:
-    """Thin ckpt-loading wrapper; mirrors network/vocoders/pwg.py:54-103."""
+def convert(sd: dict, cfg: PWGConfig) -> dict:
+    """Official/reference PWG generator state dict -> params (folds wn)."""
+    from ..utils import convert_torch as cvt
 
-    def __init__(self, hp):  # pragma: no cover - requires external weights
-        raise NotImplementedError(
-            "PWG checkpoint loading requires an external wavegan_pretrained "
-            "dir; use HifiGAN/NsfHifiGAN, or call pwg.apply with converted "
-            "params directly.")
+    sd = cvt.fold_weight_norm(sd)
+    p = {
+        "first_conv": cvt.conv1d(sd, "first_conv"),
+        "upsample_conv_in": cvt.conv1d(
+            sd, "upsample_net.conv_in", bias=False),
+        "upsample_convs": [],
+        "layers": [],
+        "last_conv1": cvt.conv1d(sd, "last_conv_layers.1"),
+        "last_conv2": cvt.conv1d(sd, "last_conv_layers.3"),
+    }
+    # up_layers indices: [Stretch2d, Conv2d, Stretch2d, Conv2d, ...]
+    i = 1
+    while f"upsample_net.upsample.up_layers.{i}.weight" in sd:
+        w = sd[f"upsample_net.upsample.up_layers.{i}.weight"]  # [1,1,1,k]
+        p["upsample_convs"].append({"w": jnp.asarray(w[0, 0])})  # [1, k]
+        i += 2
+    for j in range(cfg.layers):
+        pfx = f"conv_layers.{j}"
+        p["layers"].append({
+            "conv": cvt.conv1d(sd, f"{pfx}.conv"),
+            "aux": cvt.conv1d(sd, f"{pfx}.conv1x1_aux", bias=False),
+            "out": cvt.conv1d(sd, f"{pfx}.conv1x1_out"),
+            "skip": cvt.conv1d(sd, f"{pfx}.conv1x1_skip"),
+        })
+    return p
+
+
+class PWGGenerator:
+    """Checkpoint-loading wrapper (mirrors network/vocoders/pwg.py:54-103)."""
+
+    def __init__(self, hp):
+        import glob as _glob
+        import re as _re
+
+        import yaml as _yaml
+
+        from ..utils import convert_torch as cvt
+
+        self.hp = hp
+        base_dir = hp.get("vocoder_ckpt") or "wavegan_pretrained"
+        with open(f"{base_dir}/config.yaml", encoding="utf-8") as f:
+            config = _yaml.safe_load(f)
+        self.cfg = PWGConfig.from_dict(config.get("generator_params", config))
+        self.hop = config.get("hop_size", hp.get("hop_size", 128))
+
+        ckpts = _glob.glob(f"{base_dir}/model_ckpt_steps_*.ckpt") or \
+            _glob.glob(f"{base_dir}/checkpoint-*steps.pkl")
+        assert ckpts, f"no PWG checkpoint under {base_dir}"
+        ckpt_path = max(ckpts, key=lambda x: int(_re.findall(r"(\d+)", x)[-1]))
+        ckpt = cvt.torch_load(ckpt_path)
+        if "state_dict" in ckpt:  # reference-trainer format
+            sd = cvt.strip_prefix(
+                {k: cvt._to_np(v) for k, v in ckpt["state_dict"].items()},
+                "model_gen.")
+            self.scaler_mean = self.scaler_scale = None
+        else:  # official format
+            sd = {k: cvt._to_np(v) for k, v in ckpt["model"]["generator"].items()}
+            stats = f"{base_dir}/stats.npy"
+            import os as _os
+
+            if _os.path.exists(stats):
+                arr = np.load(stats)
+                self.scaler_mean, self.scaler_scale = arr[0], arr[1]
+            else:
+                self.scaler_mean = self.scaler_scale = None
+        self.params = convert(sd, self.cfg)
+        self._apply = jax.jit(lambda p, z, m: apply(p, self.cfg, z, m))
+        print(f"| Loaded PWG from {ckpt_path}")
+
+    def spec2wav(self, mel, **kwargs):
+        c = np.asarray(mel, np.float32)
+        if self.scaler_mean is not None:
+            c = (c - self.scaler_mean) / self.scaler_scale
+        pad = self.cfg.aux_context_window
+        c = np.pad(c, ((pad, pad), (0, 0)), "edge")
+        z = np.random.RandomState(kwargs.get("seed", 0)).randn(
+            1, mel.shape[0] * self.hop).astype(np.float32)
+        y = self._apply(self.params, jnp.asarray(z), jnp.asarray(c[None]))
+        return np.asarray(y[0])

@@ -1,0 +1,101 @@
+"""PWG generator converter parity vs an independent torch build with the
+official parameter names."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+
+from diffsvc_tpu.vocoders import pwg
+
+
+class TorchMiniPWG(tnn.Module):
+    """Official parallel_wavegan generator structure, small dims."""
+
+    def __init__(self, layers=6, stacks=2, rc=8, gc=16, sc=8, aux=4,
+                 scales=(2, 2), ctx=2):
+        super().__init__()
+        wn = tnn.utils.weight_norm
+        self.layers_n, self.stacks = layers, stacks
+        self.rc, self.gc, self.sc = rc, gc, sc
+        self.scales, self.ctx = scales, ctx
+        self.first_conv = wn(tnn.Conv1d(1, rc, 1))
+        un = tnn.Module()
+        un.conv_in = wn(tnn.Conv1d(aux, aux, 2 * ctx + 1, bias=False))
+        up = tnn.Module()
+        up.up_layers = tnn.ModuleList()
+        for s in scales:
+            up.up_layers.append(tnn.Identity())  # Stretch2d placeholder
+            c = tnn.Conv2d(1, 1, (1, 2 * s + 1), padding=(0, s), bias=False)
+            c.weight.data.fill_(1.0 / (2 * s + 1))
+            up.up_layers.append(c)
+        un.upsample = up
+        self.upsample_net = un
+        self.conv_layers = tnn.ModuleList()
+        for i in range(layers):
+            blk = tnn.Module()
+            d = 2 ** (i % (layers // stacks))
+            blk.conv = wn(tnn.Conv1d(rc, gc, 3, dilation=d, padding=d))
+            blk.conv1x1_aux = wn(tnn.Conv1d(aux, gc, 1, bias=False))
+            blk.conv1x1_out = wn(tnn.Conv1d(gc // 2, rc, 1))
+            blk.conv1x1_skip = wn(tnn.Conv1d(gc // 2, sc, 1))
+            self.conv_layers.append(blk)
+        self.last_conv_layers = tnn.ModuleList([
+            tnn.ReLU(), wn(tnn.Conv1d(sc, sc, 1)),
+            tnn.ReLU(), wn(tnn.Conv1d(sc, 1, 1))])
+
+    def forward(self, z, c):
+        # aux upsample
+        c = self.upsample_net.conv_in(c)
+        for i, s in enumerate(self.scales):
+            c = torch.repeat_interleave(c, s, dim=2)
+            c = self.upsample_net.upsample.up_layers[2 * i + 1](
+                c.unsqueeze(1)).squeeze(1)
+        c = c[:, :, : z.shape[2]]
+        x = self.first_conv(z)
+        skips = 0.0
+        for i, blk in enumerate(self.conv_layers):
+            y = blk.conv(x) + blk.conv1x1_aux(c)
+            xa, xb = torch.split(y, self.gc // 2, dim=1)
+            y = torch.tanh(xa) * torch.sigmoid(xb)
+            x = (x + blk.conv1x1_out(y)) * math.sqrt(0.5)
+            skips = skips + blk.conv1x1_skip(y)
+        s = skips * math.sqrt(1.0 / self.layers_n)
+        for l in self.last_conv_layers:
+            s = l(s)
+        return s
+
+
+def test_pwg_converter_parity():
+    torch.manual_seed(0)
+    tm = TorchMiniPWG()
+    B, T_mel, AUX, CTX = 1, 12, 4, 2
+    scales_prod = 4
+    c = torch.randn(B, AUX, T_mel + 2 * CTX)
+    z = torch.randn(B, 1, T_mel * scales_prod)
+    with torch.no_grad():
+        y_t = tm(z, c).numpy()[:, 0]
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    cfg = pwg.PWGConfig(layers=6, stacks=2, residual_channels=8,
+                        gate_channels=16, skip_channels=8, aux_channels=4,
+                        aux_context_window=2, upsample_scales=(2, 2))
+    params = pwg.convert(sd, cfg)
+    y_j = pwg.apply(params, cfg, jnp.asarray(z.numpy()[:, 0]),
+                    jnp.asarray(c.numpy().transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(y_j), y_t, rtol=1e-4, atol=1e-5)
+
+
+def test_pwg_init_apply_shapes():
+    cfg = pwg.PWGConfig(layers=6, stacks=2, residual_channels=8,
+                        gate_channels=16, skip_channels=8, aux_channels=4,
+                        aux_context_window=2, upsample_scales=(2, 2))
+    params = pwg.init(jax.random.PRNGKey(0), cfg)
+    mel = jnp.zeros((1, 20 + 4, 4))  # + context window
+    z = jnp.zeros((1, 20 * 4))
+    y = pwg.apply(params, cfg, z, mel)
+    assert y.shape == (1, 80)
+    assert np.isfinite(np.asarray(y)).all()
