@@ -30,6 +30,7 @@ class DiffNetConfig(NamedTuple):
     residual_layers: int = 20
     residual_channels: int = 256
     dilation_cycle_length: int = 4
+    remat: bool = False         # rematerialize each dilation cycle in bwd
 
     @classmethod
     def from_hparams(cls, hp):
@@ -39,6 +40,7 @@ class DiffNetConfig(NamedTuple):
             residual_layers=hp["residual_layers"],
             residual_channels=hp["residual_channels"],
             dilation_cycle_length=hp["dilation_cycle_length"],
+            remat=bool(hp.get("use_remat", False)),
         )
 
 
@@ -147,6 +149,11 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
                 x, cpc[j], step_j, dilation=2**j)
             skips.append(skip)
         return x, jnp.stack(skips).sum(0)
+
+    if cfg.remat:
+        # trade FLOPs for memory: only cycle boundaries are saved in the
+        # backward pass (activations within a cycle are recomputed)
+        cycle_body = jax.checkpoint(cycle_body)
 
     x, skip_sums = jax.lax.scan(cycle_body, x, (lp, cond_proj_g))
     x = skip_sums.sum(0) * (1.0 / math.sqrt(n_layers))
