@@ -109,8 +109,28 @@ class BaseBinarizer:
         lengths, spec_min, spec_max = [], [], []
         total_sec = 0.0
         args = list(self.meta_data_iterator(prefix))
-        for item_name, meta in reversed(args):
-            item = self.process_item(item_name, meta)
+
+        batch_size = int(hp.get("binarize_batch_size", 8) or 0)
+        use_batched = (batch_size > 1 and not hp.get("use_crepe", False)
+                       and hasattr(self.phone_encoder, "encode_batch")
+                       and getattr(self.phone_encoder, "params", None) is not None)
+        if use_batched:
+            # batched device pipeline: one f0 track + one hubert encode per
+            # item group (grouped by waveform bucket)
+            metas = [(name, meta["wav_fn"]) for name, meta in reversed(args)]
+            spk_ids = [self.item_name2spk_id(name) for name, _ in metas]
+            items_by_idx = {}
+            for i, item in features.process_items_batched(
+                    metas, hp, self.phone_encoder.encode_batch,
+                    self.binarization_args, spk_ids=spk_ids,
+                    group_size=batch_size):
+                items_by_idx[i] = item
+            ordered = [items_by_idx.get(i) for i in range(len(metas))]
+        else:
+            ordered = (self.process_item(name, meta)
+                       for name, meta in reversed(args))
+
+        for item in ordered:
             if item is None:
                 continue
             spec_min.append(item["spec_min"])

@@ -42,15 +42,40 @@ def get_pitch(wav: np.ndarray, mel: np.ndarray, hp: HParams,
               use_crepe: bool = False, threshold: float = 0.05):
     """f0 + coarse bins on the mel grid. CREPE when requested and weights are
     available, otherwise the in-repo Praat-style AC tracker (the reference's
-    parselmouth path)."""
+    parselmouth path).
+
+    When ``f0_cache_dir`` is set, tracks are cached on disk keyed by the
+    waveform md5 (the binarizer's equivalent of the inference-side
+    ``f0_temp.json`` cache)."""
+    cache_fn = None
+    cache_dir = hp.get("f0_cache_dir", "")
+    if cache_dir:
+        import hashlib
+        import os
+
+        os.makedirs(cache_dir, exist_ok=True)
+        tag = "crepe" if use_crepe else "ac"
+        md5 = hashlib.new("md5", np.ascontiguousarray(wav)).hexdigest()
+        cache_fn = os.path.join(cache_dir, f"{md5}_{tag}_{len(mel)}.npy")
+        if os.path.exists(cache_fn):
+            f0 = np.load(cache_fn)
+            from ..ops.pitch import f0_to_coarse
+
+            return f0, f0_to_coarse(f0, hp["f0_bin"], hp["f0_min"], hp["f0_max"])
+
     if use_crepe:
         try:
             from ..ops.crepe import get_pitch_crepe
 
-            return get_pitch_crepe(wav, mel, hp, threshold)
+            f0, coarse = get_pitch_crepe(wav, mel, hp, threshold)
         except (ImportError, FileNotFoundError) as e:
             print(f"| crepe unavailable ({e}); falling back to AC tracker")
-    return get_pitch_ac(wav, len(mel), hp)
+            f0, coarse = get_pitch_ac(wav, len(mel), hp)
+    else:
+        f0, coarse = get_pitch_ac(wav, len(mel), hp)
+    if cache_fn:
+        np.save(cache_fn, f0)
+    return f0, coarse
 
 
 def wav2spec_for(hp: HParams, wav_fn) -> tuple:
@@ -128,6 +153,123 @@ def process_item(item_name: str, wav_fn, hp: HParams, hubert_encode,
         print(f"| Skip item ({e}). item_name: {item_name}")
         return None
     return processed
+
+
+def process_items_batched(metas, hp: HParams, hubert_encode_batch,
+                          binarization_args: Optional[dict] = None,
+                          use_crepe: Optional[bool] = None,
+                          spk_ids=None, group_size: int = 8):
+    """Batched variant of :func:`process_item` for offline binarization.
+
+    Items are grouped by waveform bucket; each group runs ONE batched f0
+    track (vmapped AC tracker) and ONE batched HuBERT encode, so the number
+    of device dispatches scales with bucket count, not item count. Outputs
+    are numerically identical to the per-item path (same padded lengths).
+
+    ``hubert_encode_batch(wavs16k [B, L]) -> units [B, T, 256]``.
+    Yields (index, processed_input-or-None) pairs in input order.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import f0_ac
+    from ..utils.audio_io import load_wav, load_wav_nsf, resample
+
+    ba = binarization_args or hp.get("binarization_args", {})
+    use_crepe = hp.get("use_crepe", False) if use_crepe is None else use_crepe
+    is_nsf = "nsf" in str(hp.get("vocoder", "")).lower()
+    hop = hp["hop_size"]
+    bucket = int(hp.get("wav_bucket_frames", 128) or 1) * hop
+    sr = hp["audio_sample_rate"]
+
+    # 1) load + bucket
+    loaded = []
+    for i, (item_name, wav_fn) in enumerate(metas):
+        try:
+            if is_nsf:
+                wav, _ = load_wav_nsf(wav_fn, target_sr=sr)
+            else:
+                wav, _ = load_wav(wav_fn, sr=sr)
+            loaded.append((i, item_name, wav_fn, wav))
+        except Exception as e:
+            print(f"| Skip item ({e}). item_name: {item_name}")
+            yield i, None
+
+    groups: Dict[int, list] = {}
+    for rec in loaded:
+        pad_len = -(-len(rec[3]) // bucket) * bucket
+        groups.setdefault(pad_len, []).append(rec)
+
+    # jitted batched f0 tracker per bucket
+    f0_min = float(hp["f0_min"])
+    wl_s = f0_ac.PERIODS_PER_WINDOW / f0_min
+
+    for pad_len, recs in groups.items():
+        for start in range(0, len(recs), group_size):
+            chunk = recs[start: start + group_size]
+            wavs = np.stack([np.pad(r[3], (0, pad_len - len(r[3])))
+                             for r in chunk])
+            # mel per item via the registry path (bucketed jit reuses)
+            mels, wavs_out = [], []
+            for r in chunk:
+                w_out, mel = wav2spec_for(hp, r[3])
+                mels.append(mel)
+                wavs_out.append(w_out)
+            # batched f0 (vmapped single-dispatch tracker)
+            win = int(round(wl_s * sr))
+            n_frames, t1 = f0_ac._praat_frame_grid(pad_len, sr, hop / sr, wl_s)
+            start0 = int(round((t1 - wl_s / 2) * sr))
+            fftsz = int(2 ** np.ceil(np.log2(2 * win)))
+            track = jax.vmap(lambda w: f0_ac._track.__wrapped__(
+                w, sr=sr, hop=hop, n_frames=n_frames, win_samples=win,
+                fft_size=fftsz, start0=start0, f0_min=f0_min,
+                f0_max=float(hp["f0_max"]), voicing_threshold=0.6,
+                tsc=0.01 / (hop / sr)))
+            f0_tracks = np.asarray(jax.jit(track)(jnp.asarray(wavs)))
+            # batched hubert on 16 kHz resamples
+            wav16 = np.stack([resample(w, sr, 16000) for w in wavs])
+            units_all = hubert_encode_batch(wav16)
+
+            for j, (i, item_name, wav_fn, wav) in enumerate(chunk):
+                try:
+                    mel = mels[j]
+                    processed = {
+                        "item_name": item_name, "wav": wavs_out[j],
+                        "mel": mel, "sec": len(wav) / sr, "len": mel.shape[0],
+                        "spk_id": (spk_ids[i] if spk_ids is not None
+                                   else hp.get("speaker_id", 0)),
+                        "spec_min": np.min(mel, axis=0),
+                        "spec_max": np.max(mel, axis=0),
+                    }
+                    if ba.get("with_f0", True):
+                        # cut the padded track onto this item's mel grid
+                        f0_full = f0_tracks[j]
+                        pad_size = (pad_len // hop - len(f0_full) + 1) // 2
+                        mel_len = mel.shape[0]
+                        f0 = np.zeros(mel_len, np.float32)
+                        src0 = max(-pad_size, 0)
+                        dst0 = max(pad_size, 0)
+                        n = min(len(f0_full) - src0, mel_len - dst0)
+                        if n > 0:
+                            f0[dst0: dst0 + n] = f0_full[src0: src0 + n]
+                        if f0.sum() == 0:
+                            raise BinarizationError("Empty **gt** f0")
+                        from ..ops.pitch import f0_to_coarse
+
+                        processed["f0"] = f0
+                        processed["pitch"] = f0_to_coarse(
+                            f0, hp["f0_bin"], f0_min, float(hp["f0_max"]))
+                    if ba.get("with_hubert", True):
+                        true_units = max(int(len(wav) * 16000 / sr) // 320, 1)
+                        processed["hubert"] = np.asarray(
+                            units_all[j][:true_units])
+                        if ba.get("with_align", True):
+                            processed["mel2ph"] = get_align_uniform(
+                                mel.shape[0], processed["hubert"].shape[0])
+                    yield i, processed
+                except Exception as e:
+                    print(f"| Skip item ({e}). item_name: {item_name}")
+                    yield i, None
 
 
 def getitem(item: Dict, hp: HParams) -> Dict:

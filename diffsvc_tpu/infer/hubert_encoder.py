@@ -69,6 +69,21 @@ class Hubertencoder:
             raise FileNotFoundError("HuBERT/ContentVec checkpoint not loaded")
         # length bucketing: pad to 0.4 s multiples (one compile per bucket),
         # trim units back to the true 50 Hz frame count
+        return self._encode_wav16(wav16k)
+
+    def encode_batch(self, wav16k_batch) -> "np.ndarray":
+        """Batched encode: [B, L] 16 kHz (already same-length/padded) ->
+        [B, T, 256]. Used by the batched binarizer."""
+        if self.params is None:
+            raise FileNotFoundError("HuBERT/ContentVec checkpoint not loaded")
+        wavs = jnp.asarray(np.asarray(wav16k_batch, np.float32))
+        if self.use_vec:
+            units = self._vec.units(self.params, self.cfg, wavs)
+        else:
+            units = hubert_model.units(self.params, self.cfg, wavs)
+        return np.asarray(units)
+
+    def _encode_wav16(self, wav16k) -> "np.ndarray":
         true_units = max(len(wav16k) // 320, 1)
         bucket = 6400  # 0.4 s at 16 kHz = 20 unit frames
         pad_len = -(-len(wav16k) // bucket) * bucket
