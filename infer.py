@@ -89,6 +89,7 @@ def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
         audio_data = [(tag, data, 0, 0) for tag, data in audio_data]
 
     ov_out_scale = hp["audio_sample_rate"] / audio_sr
+    expected_total = 0  # output samples excluding crossfade extensions
 
     # batched mode: run all voiced chunks' diffusion as grouped batches
     batched_results = None
@@ -134,13 +135,16 @@ def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
                                           else len(_audio) - len(fix_audio):]
         f0_tst.extend(_f0_tst)
         f0_pred.extend(_f0_pred)
+        expected_total += int(np.ceil(
+            (len(data) - ov_l - ov_r) / audio_sr * hp["audio_sample_rate"]))
         if ov_in > 0:
             pieces.append((fix_audio, int(round(ov_l * ov_out_scale))))
         else:
             out_audio.extend(list(fix_audio))
 
     if ov_in > 0:
-        out_audio = crossfade_concat(pieces)
+        # trim the extensions so the output matches the input duration
+        out_audio = crossfade_concat(pieces)[:expected_total]
 
     if out_path is None:
         out_path = (f"./results/{clean_name}_{key}key_{project_name}_"
