@@ -213,10 +213,39 @@ class Svc:
                 stack["f0"], stack["uv"],
                 pitch_norm=self.hp.get("pitch_norm", "log"),
                 use_uv=self.hp.get("use_uv", False)))
+            # batched vocoding when the wrapper exposes raw generator state
+            wavs = None
+            if hasattr(self.vocoder, "params") and hasattr(self.vocoder, "cfg"):
+                from ..ops.mel import LN_10
+                from ..vocoders import generator as gen
+
+                is_nsf = "nsf" in str(self.hp.get("vocoder", "")).lower()
+                mel_clip = np.clip(mel_out, self.hp["mel_vmin"],
+                                   self.hp["mel_vmax"])
+                voc_in = jnp.asarray(mel_clip * (LN_10 if is_nsf else 1.0))
+                f0_voc = jnp.asarray(f0_pred_all) \
+                    if self.hp.get("use_nsf") else None
+                wavs = np.asarray(gen.apply(
+                    self.vocoder.params, self.vocoder.cfg, voc_in, f0_voc,
+                    jax.random.PRNGKey(seed)))
+
+            hop_up = None
             for j, i in enumerate(idxs):
-                pred = {"mels": stack["mels"][j], "outputs": mel_out[j],
-                        "f0_gt": f0_gt_all[j], "f0_pred": f0_pred_all[j]}
-                results[i] = self.after_infer(pred)
+                mask = np.abs(mel_out[j]).sum(-1) > 0
+                if wavs is not None:
+                    if hop_up is None:
+                        hop_up = wavs.shape[1] // mel_out.shape[1]
+                    # keep only the real frames' audio (padding tail masked)
+                    n_real = int(mask.sum())
+                    # real frames are a prefix (padding is trailing)
+                    wav_pred = wavs[j][: n_real * hop_up]
+                    f0_gt = f0_gt_all[j][: len(mask)][mask]
+                    f0_pred = f0_pred_all[j][: len(mask)][mask]
+                    results[i] = (f0_gt, f0_pred, wav_pred)
+                else:
+                    pred = {"mels": stack["mels"][j], "outputs": mel_out[j],
+                            "f0_gt": f0_gt_all[j], "f0_pred": f0_pred_all[j]}
+                    results[i] = self.after_infer(pred)
         return results
 
     def after_infer(self, prediction, singer=False, in_path=""):
