@@ -109,6 +109,11 @@ def _find_candidates(r, local_peak, global_peak, sr, f0_min, f0_max,
     # Strength with octave cost (Boersma eq. 24):
     # R = r(tau) - OctaveCost * log2(pitch_floor * tau_seconds * ... ) with the
     # convention that higher candidates are penalized relative to the floor.
+    # Praat reflects normalized-ACF peaks above 1 (r -> 1/r): values > 1 come
+    # from the window-ACF division and indicate an unreliable maximum.
+    peak_val = jnp.where(peak_val > 1.0,
+                         1.0 / jnp.maximum(peak_val, 1e-6), peak_val)
+
     # R = r(tau) - OctaveCost * log2(pitch_floor * tau): smaller tau (higher
     # f0) gets a bonus, discouraging subharmonic octave errors.
     tau_sec = jnp.maximum(peak_lag, 1e-6) / sr
