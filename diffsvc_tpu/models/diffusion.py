@@ -224,6 +224,54 @@ def p_sample_plms_scan(tables, denoise_fn, x, t_start: int, interval: int):
     return x
 
 
+def p_sample_dpmpp_2m_scan(tables, denoise_fn, x, t_start: int, interval: int):
+    """DPM-Solver++(2M) for epsilon prediction — a second-order multistep
+    solver that typically beats PLMS at the same NFE count (not in the
+    reference; select with ``sampler: dpmpp``).
+
+    Data-prediction formulation over log-SNR lambda = log(alpha/sigma):
+        x0_i   = (x_i - sigma_i * eps_i) / alpha_i
+        D_i    = x0_i + (x0_i - x0_{i-1}) * (h_i / (2 h_{i-1}))   (2M term)
+        x_{i+1}= (sigma_{i+1}/sigma_i) x_i - alpha_{i+1} expm1(-h_i) D_i
+    with h_i = lambda_{i+1} - lambda_i; first step falls back to 1st order.
+    """
+    n_steps = max(t_start // interval, 1)
+    # timesteps visited: t_start-interval*k (k=0..n_steps-1) then 0
+    ts = np.concatenate([np.arange(n_steps - 1, -1, -1) * interval
+                         + (interval - 1), [0]]).astype(np.int32)
+    ts = np.clip(ts, 0, t_start - 1)
+    ac = tables["alphas_cumprod"]
+    alpha = jnp.sqrt(ac)
+    sigma = jnp.sqrt(1.0 - ac)
+    lam = jnp.log(alpha) - jnp.log(jnp.maximum(sigma, 1e-12))
+
+    def body(carry, inp):
+        x, x0_prev, h_prev, have_prev = carry
+        t_cur, t_next = inp
+        tb = jnp.full((x.shape[0],), t_cur, dtype=jnp.int32)
+        eps = denoise_fn(x, tb)
+        a_c, s_c = alpha[t_cur], jnp.maximum(sigma[t_cur], 1e-12)
+        x0 = (x - s_c * eps) / jnp.maximum(a_c, 1e-12)
+
+        h = lam[t_next] - lam[t_cur]
+        r = h / jnp.maximum(jnp.abs(h_prev), 1e-12) * jnp.sign(h_prev + 1e-30)
+        d_2m = x0 + (x0 - x0_prev) * (0.5 * r)
+        d = jnp.where(have_prev > 0, d_2m, x0)
+
+        a_n, s_n = alpha[t_next], jnp.maximum(sigma[t_next], 1e-12)
+        x_next = (s_n / s_c) * x - a_n * jnp.expm1(-h) * d
+        return (x_next, x0, h, jnp.float32(1.0)), None
+
+    pairs = (jnp.asarray(ts[:-1]), jnp.asarray(ts[1:]))
+    init = (x, jnp.zeros_like(x), jnp.float32(1.0), jnp.float32(0.0))
+    (x, x0_last, _, _), _ = jax.lax.scan(body, init, pairs)
+    # final step lands on t=0: return the data prediction there
+    tb0 = jnp.zeros((x.shape[0],), jnp.int32)
+    eps0 = denoise_fn(x, tb0)
+    x0 = (x - jnp.maximum(sigma[0], 1e-12) * eps0) / jnp.maximum(alpha[0], 1e-12)
+    return x0
+
+
 # ---------------------------------------------------------------------------
 # Full model: conditioner + denoiser + samplers
 # ---------------------------------------------------------------------------
@@ -334,7 +382,11 @@ class GaussianDiffusion:
             x = jax.random.normal(noise_rng, (b, t_mel, self.mel_bins))
 
         speedup = self.cfg.pndm_speedup if speedup is None else speedup
-        if speedup and speedup > 1:
+        sampler = str(self.hp.get("sampler", "plms")).lower()
+        if speedup and speedup > 1 and sampler in ("dpmpp", "dpm++", "dpm_solver"):
+            x = p_sample_dpmpp_2m_scan(self.tables, denoise_fn, x, t_start,
+                                       int(speedup))
+        elif speedup and speedup > 1:
             x = p_sample_plms_scan(self.tables, denoise_fn, x, t_start, int(speedup))
         else:
             x = p_sample_ddpm_scan(self.tables, denoise_fn, x, t_start, samp_rng)

@@ -1,0 +1,81 @@
+"""DPM-Solver++(2M) sampler: convergence with the exact denoiser of a
+point-mass data distribution, and accuracy vs PLMS at equal NFE."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsvc_tpu.models import diffusion as D
+
+
+def _exact_denoiser(tables, x_star):
+    """For data = delta(x*), the optimal eps(x_t, t) is
+    (x_t - sqrt(ac_t) x*) / sqrt(1-ac_t)."""
+    ac = tables["alphas_cumprod"]
+
+    def fn(x, t):
+        a = jnp.sqrt(ac)[t].reshape(-1, 1, 1)
+        s = jnp.sqrt(1 - ac)[t].reshape(-1, 1, 1)
+        return (x - a * x_star) / jnp.maximum(s, 1e-12)
+
+    return fn
+
+
+def test_dpmpp_converges_to_data():
+    cfg = D.DiffusionConfig(timesteps=1000, K_step=1000,
+                            schedule_type="linear", max_beta=0.02)
+    tables = D.make_tables(cfg)
+    rng = np.random.RandomState(0)
+    x_star = jnp.asarray(rng.randn(1, 8, 4).astype(np.float32) * 0.5)
+    denoise = _exact_denoiser(tables, x_star)
+    x_T = jnp.asarray(rng.randn(1, 8, 4).astype(np.float32))
+
+    for interval in (100, 50):  # 10 and 20 NFE
+        out = D.p_sample_dpmpp_2m_scan(tables, denoise, x_T, 1000, interval)
+        err = float(jnp.abs(out - x_star).max())
+        assert err < 0.02, (interval, err)
+
+
+def test_dpmpp_beats_plms_at_low_nfe():
+    """At 10 steps the 2nd-order solver should land closer to the point mass
+    than PLMS."""
+    cfg = D.DiffusionConfig(timesteps=1000, K_step=1000,
+                            schedule_type="linear", max_beta=0.02)
+    tables = D.make_tables(cfg)
+    rng = np.random.RandomState(1)
+    x_star = jnp.asarray(rng.randn(1, 8, 4).astype(np.float32) * 0.5)
+    denoise = _exact_denoiser(tables, x_star)
+    x_T = jnp.asarray(rng.randn(1, 8, 4).astype(np.float32))
+
+    dpm = D.p_sample_dpmpp_2m_scan(tables, denoise, x_T, 1000, 100)
+    plms = D.p_sample_plms_scan(tables, denoise, x_T, 1000, 100)
+    err_dpm = float(jnp.abs(dpm - x_star).mean())
+    err_plms = float(jnp.abs(plms - x_star).mean())
+    assert err_dpm < err_plms, (err_dpm, err_plms)
+
+
+def test_dpmpp_wired_into_infer():
+    from diffsvc_tpu.config import HParams
+    from diffsvc_tpu.models.diffusion import GaussianDiffusion
+
+    hp = HParams(
+        audio_num_mel_bins=8, hidden_size=16, residual_layers=4,
+        residual_channels=16, dilation_cycle_length=4, timesteps=20,
+        K_step=20, diff_loss_type="l2", schedule_type="linear", max_beta=0.02,
+        keep_bins=8, spec_min=[-6.0], spec_max=[1.5], no_fs2=True,
+        use_pitch_embed=True, use_energy_embed=False, use_uv=False,
+        pitch_norm="log", f0_bin=256, f0_min=50.0, f0_max=1100.0,
+        pndm_speedup=5, sampler="dpmpp")
+    model = GaussianDiffusion(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = {
+        "hubert": jnp.ones((1, 4, 16)) * 0.1,
+        "mel2ph": jnp.ones((1, 8), jnp.int32),
+        "f0": jnp.full((1, 8), 7.78),
+        "uv": jnp.zeros((1, 8)),
+        "energy": jnp.zeros((1, 8)),
+        "mels": jnp.zeros((1, 8, 8)),
+    }
+    out = model.infer(params, batch, jax.random.PRNGKey(1))
+    assert out["mel_out"].shape == (1, 8, 8)
+    assert np.isfinite(np.asarray(out["mel_out"])).all()
