@@ -183,9 +183,18 @@ class SVCBinarizer(BaseBinarizer):
     def load_meta_data(self):
         raw_data_dir = Path(self.hp["raw_data_dir"])
         files = list(raw_data_dir.rglob("*.wav")) + list(raw_data_dir.rglob("*.ogg"))
+        multi_spk = bool(self.hp.get("use_spk_id")) and int(self.hp.get("num_spk", 1)) > 1
+
+        def spk_of(fn: Path):
+            if multi_spk:
+                # multi-speaker: each first-level subdirectory is a speaker
+                rel = fn.relative_to(raw_data_dir)
+                if len(rel.parts) > 1:
+                    return rel.parts[0]
+            return self.hp.get("speaker_id", 0)
+
         self.items = {
-            str(fn): {"wav_fn": str(fn), "spk_id": self.hp.get("speaker_id", 0)}
-            for fn in files}
+            str(fn): {"wav_fn": str(fn), "spk_id": spk_of(fn)} for fn in files}
 
 
 def binarize(hp: HParams):

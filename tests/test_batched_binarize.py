@@ -91,3 +91,28 @@ def test_f0_disk_cache(wav_dir):
     assert len(os.listdir(hp["f0_cache_dir"])) == 1
     f0b, _ = features.get_pitch(wav, mel, hp)  # cache hit
     np.testing.assert_array_equal(f0a, f0b)
+
+
+def test_multispeaker_discovery(tmp_path):
+    """use_spk_id + num_spk>1: first-level subdirs become speakers with
+    stable integer ids via spk_map."""
+    from diffsvc_tpu.data.binarizer import SVCBinarizer
+
+    sr = 8000
+    for spk in ("alice", "bob"):
+        d = tmp_path / "raw" / spk
+        d.mkdir(parents=True)
+        for i in range(3):
+            t = np.arange(sr // 2) / sr
+            save_wav(0.3 * np.sin(2 * np.pi * 200 * t).astype(np.float32),
+                     str(d / f"{spk}{i}.wav"), sr)
+    hp = _hp(tmp_path)
+    hp.update(raw_data_dir=str(tmp_path / "raw"), use_spk_id=True, num_spk=2,
+              binary_data_dir=str(tmp_path / "bin"))
+    b = SVCBinarizer(hp)
+    spks = {v["spk_id"] for v in b.items.values()}
+    assert spks == {"alice", "bob"}
+    spk_map = b.build_spk_map()
+    assert spk_map == {"alice": 0, "bob": 1}
+    b.spk_map = spk_map
+    assert b.item_name2spk_id(sorted(b.items)[0]) in (0, 1)
