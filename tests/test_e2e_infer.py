@@ -210,3 +210,67 @@ def test_e2e_infer_batched(svc, tmp_path):
     # equal-length clips should yield equal-length outputs
     assert len(results[0][2]) == len(results[1][2])
     assert len(results[2][2]) < len(results[0][2])
+
+
+def _make_pe_ckpt(path, mel=MEL_BINS, h=HID):
+    """pe checkpoint in reference state-dict format (model.* prefix)."""
+    g = torch.Generator().manual_seed(3)
+
+    def r(*shape, scale=0.05):
+        return torch.randn(*shape, generator=g) * scale
+
+    sd = {}
+    c_in = mel
+    for i in range(3):
+        p = f"model.mel_prenet.layers.{i}"
+        sd[f"{p}.0.weight"] = r(h, c_in, 5)
+        sd[f"{p}.0.bias"] = r(h)
+        sd[f"{p}.2.weight"] = torch.ones(h)
+        sd[f"{p}.2.bias"] = torch.zeros(h)
+        sd[f"{p}.2.running_mean"] = torch.zeros(h)
+        sd[f"{p}.2.running_var"] = torch.ones(h)
+        c_in = h
+    sd["model.mel_prenet.out_proj.weight"] = r(h, h)
+    sd["model.mel_prenet.out_proj.bias"] = r(h)
+    sd["model.mel_encoder.in_proj.weight"] = r(h, h)
+    sd["model.mel_encoder.in_proj.bias"] = r(h)
+    for i in range(2):
+        p = f"model.mel_encoder.conv.{i}"
+        sd[f"{p}.conv.conv.weight"] = r(h, h, 5)
+        sd[f"{p}.conv.conv.bias"] = r(h)
+        sd[f"{p}.norm.weight"] = torch.ones(h)
+        sd[f"{p}.norm.bias"] = torch.zeros(h)
+    sd["model.mel_encoder.out_proj.weight"] = r(h, h)
+    sd["model.mel_encoder.out_proj.bias"] = r(h)
+    c_in = h
+    for i in range(5):
+        p = f"model.pitch_predictor.conv.{i}"
+        sd[f"{p}.1.weight"] = r(h, c_in, 5)
+        sd[f"{p}.1.bias"] = r(h)
+        sd[f"{p}.3.weight"] = torch.ones(h)
+        sd[f"{p}.3.bias"] = torch.zeros(h)
+        c_in = h
+    sd["model.pitch_predictor.linear.weight"] = r(2, h)
+    sd["model.pitch_predictor.linear.bias"] = r(2)
+    sd["model.pitch_predictor.pos_embed_alpha"] = torch.ones(1)
+    torch.save({"state_dict": sd}, path)
+
+
+def test_e2e_use_pe_branch(svc, tmp_path):
+    """use_pe: f0 for the vocoder comes from the pe re-estimation of the
+    generated mel instead of the conditioner's f0."""
+    from diffsvc_tpu.utils import convert_torch as cvt
+
+    pe_path = tmp_path / "pe_ckpt_steps_1.ckpt"
+    _make_pe_ckpt(str(pe_path))
+    svc.pe_params = cvt.convert_pe(str(pe_path), svc.hp)
+    try:
+        wav_fn = tmp_path / "pe_in.wav"
+        _write_test_wav(wav_fn, secs=0.6)
+        f0_gt, f0_pred, wav_pred = svc.infer(
+            str(wav_fn), key=0, acc=10, use_pe=True, use_crepe=False)
+        assert np.isfinite(wav_pred).all() and len(wav_pred) > 0
+        # pe path used: f0_pred is the pe output, not the conditioner f0
+        assert not np.allclose(f0_pred, f0_gt[: len(f0_pred)])
+    finally:
+        svc.pe_params = None
