@@ -103,3 +103,30 @@ def test_ac_pitch_silence_is_unvoiced():
     f0, _ = get_pitch_ac(wav.astype(np.float32), mel_len, hp)
     tail = f0[int(0.6 * sr / 128):]
     assert (tail == 0).mean() > 0.95
+
+
+def test_ac_pitch_noisy_singing_octave_stability():
+    """Vibrato + harmonics + noise: the tracker must stay on the fundamental
+    (no octave jumps) and keep a coherent voiced region."""
+    from diffsvc_tpu.ops.f0_ac import get_pitch_ac
+
+    hp = HParams(audio_sample_rate=24000, hop_size=128, f0_min=50.0,
+                 f0_max=1100.0, f0_bin=256)
+    sr = 24000
+    rng = np.random.RandomState(0)
+    t = np.arange(sr * 2) / sr
+    f0_curve = 260.0 * (1 + 0.04 * np.sin(2 * np.pi * 5.5 * t))
+    phase = np.cumsum(2 * np.pi * f0_curve / sr)
+    wav = (0.4 * np.sin(phase) + 0.25 * np.sin(2 * phase)
+           + 0.15 * np.sin(3 * phase) + 0.08 * np.sin(4 * phase)
+           + 0.02 * rng.randn(len(t))).astype(np.float32)
+    mel_len = len(wav) // 128 + 1
+    f0, _ = get_pitch_ac(wav, mel_len, hp)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.9 * mel_len
+    # median on the fundamental, not an octave error
+    med = np.median(voiced)
+    assert abs(med - 260.0) / 260.0 < 0.02, med
+    # no octave jumps: all voiced frames within +-40% of the median
+    frac_outliers = float(((voiced < 0.6 * med) | (voiced > 1.6 * med)).mean())
+    assert frac_outliers < 0.02, frac_outliers
