@@ -77,11 +77,19 @@ class SVCTask:
         lr_schedule = self.lr_schedule
         accumulate = self.accumulate
 
+        # Matmul/conv precision for the train step. TPU default ("default")
+        # is bf16-multiply/fp32-accumulate on the MXU — measured 77 ms/step
+        # vs 177 ms for full-fp32 "highest" at 44.1 kHz production dims
+        # (tools/bench_train.py on v5e-1), with indistinguishable loss.
+        # Exposed for precision-sensitive runs: "highest" | "bfloat16" | ...
+        precision = self.hp.get("train_matmul_precision") or "default"
+
         def train_step(state, batch, rng):
             rng = jax.random.fold_in(rng, state["step"])
 
             def loss_fn(params):
-                loss, _ = model.training_loss(params, batch, rng)
+                with jax.default_matmul_precision(precision):
+                    loss, _ = model.training_loss(params, batch, rng)
                 return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state["params"])
@@ -154,9 +162,11 @@ class SVCTask:
     # ------------------------------------------------------------------
     def _make_val_step(self):
         model = self.model
+        precision = self.hp.get("train_matmul_precision") or "default"
 
         def val_step(params, batch, rng):
-            loss, _ = model.training_loss(params, batch, rng)
+            with jax.default_matmul_precision(precision):
+                loss, _ = model.training_loss(params, batch, rng)
             return loss
 
         return jax.jit(val_step)

@@ -75,6 +75,28 @@ def test_fused_end_to_end(fused_model):
     assert abs(np.median(v[v > 0]) - 220.0) < 5
 
 
+def test_fused_bf16_close_to_fp32(fused_model):
+    """bf16 compute (denoiser/vocoder/hubert in bfloat16, sampler math fp32)
+    is the recommended TPU serving mode — its mel must stay close to fp32."""
+    hp2 = fused_model.hp.copy()
+    hp2["diff_compute_dtype"] = "bfloat16"
+    hp2["voc_compute_dtype"] = "bfloat16"
+    hp2["hubert_compute_dtype"] = "bfloat16"
+    fused_bf16 = FusedSvc(hp2, fused_model.params, fused_model.vocoder,
+                          hubert_params=fused_model.hub_params,
+                          hubert_cfg=fused_model.hub_cfg, speedup=5)
+    t = np.arange(8000) / 8000
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav32, f0_32, mel32 = fused_model(wav)
+    wav16, f0_16, mel16 = fused_bf16(wav)
+    assert np.isfinite(np.asarray(wav16)).all()
+    np.testing.assert_array_equal(np.asarray(f0_16), np.asarray(f0_32))
+    m32, m16 = np.asarray(mel32), np.asarray(mel16)
+    # log10-mel spans ~[-6, 1.5]; bf16 rounding through 4 NFEs stays small
+    assert np.abs(m16 - m32).mean() < 0.05, np.abs(m16 - m32).mean()
+    assert np.abs(m16 - m32).max() < 0.5, np.abs(m16 - m32).max()
+
+
 def test_fused_key_shift(fused_model):
     t = np.arange(8000) / 8000
     wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)

@@ -145,6 +145,24 @@ def test_train_step_on_mesh(binarized):
     assert 0.5 < losses[0] < 2.0
 
 
+def test_train_matmul_precision_hparam(binarized):
+    """train_matmul_precision plumbs through to the jitted step (loss matches
+    the default on CPU, where every precision lowers to fp32)."""
+    tmp, hp = binarized
+    hp_hi = HParams(dict(hp))
+    hp_hi["train_matmul_precision"] = "highest"
+    ds = FastSpeechDataset("train", hp, shuffle=False)
+    batch = ds.collater([ds[0]], pad_multiple=32)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for hp_i in (hp, hp_hi):
+        task = SVCTask(hp_i)
+        state = task.init_state()
+        _, metrics = task.train_step(state, dict(batch), rng)
+        losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
 def test_trainer_fit_and_resume(binarized):
     tmp, hp = binarized
     hp = HParams(dict(hp))
