@@ -57,3 +57,78 @@ def data_parallel_world_size(mesh: Optional[Mesh]) -> int:
     if mesh is None:
         return 1
     return mesh.shape.get("data", 1)
+
+
+# ----------------------------------------------------------------------
+# Multi-host (multi-process JAX). The reference's NCCL process group
+# (training/task/base_task.py:254-268, MASTER_ADDR/PORT env) maps to
+# jax.distributed.initialize(): every host runs the same single-controller
+# program over the global device set; XLA lowers the data-axis gradient
+# mean to ICI (intra-slice) / DCN (multi-slice) collectives.
+
+_dist_initialized = False
+
+
+def maybe_initialize_distributed(hp=None) -> bool:
+    """Initialize multi-process JAX when a coordinator is configured.
+
+    Trigger: ``distributed: true`` in the config, or the standard JAX env
+    (``JAX_COORDINATOR_ADDRESS`` [+ ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``],
+    which ``jax.distributed.initialize()`` reads itself; on TPU pods the
+    coordinator is auto-detected from the metadata server).
+    Returns True when running multi-process. Safe to call more than once.
+    """
+    global _dist_initialized
+    import os
+
+    if _dist_initialized:
+        return jax.process_count() > 1
+    want = bool(hp.get("distributed")) if hp else False
+    want = want or bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if want:
+        jax.distributed.initialize()
+        _dist_initialized = True
+        print(f"| jax.distributed: process {jax.process_index()}"
+              f"/{jax.process_count()}, {len(jax.local_devices())} local"
+              f" / {len(jax.devices())} global devices")
+    return jax.process_count() > 1
+
+
+def make_global_batch(batch: dict, shardings: dict, force: bool = False) -> dict:
+    """Assemble global jax.Arrays from the host-local numpy batch.
+
+    Single-process (and not ``force``): returns the batch unchanged — the
+    jitted step's ``in_shardings`` place it. Multi-process: every host
+    builds the SAME global batch (the bucketing RNG is seeded identically
+    on all hosts, mirroring the reference's rank-symmetric sampler,
+    training/task/tts.py:85-88), and each host's devices pull the slices
+    they own via ``jax.make_array_from_callback``.
+    """
+    if jax.process_count() == 1 and not force:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        sh = shardings.get(k)
+        if sh is None or not hasattr(v, "shape"):
+            out[k] = v
+        else:
+            arr = np.asarray(v)
+            out[k] = jax.make_array_from_callback(
+                arr.shape, sh, lambda idx, a=arr: a[idx])
+    return out
+
+
+def make_global_tree(tree, mesh: Mesh, force: bool = False):
+    """Replicate a host-local pytree (params/opt state) onto the global
+    mesh. Every host must hold identical values (same PRNG seed / same
+    checkpoint file) — the callback serves the full array to each device."""
+    if jax.process_count() == 1 and not force:
+        return tree
+    repl = replicated(mesh)
+
+    def _globalize(a):
+        arr = np.asarray(a)
+        return jax.make_array_from_callback(arr.shape, repl,
+                                            lambda idx, x=arr: x[idx])
+
+    return jax.tree.map(_globalize, tree)

@@ -157,6 +157,13 @@ class SVCTask:
 
                 jb["sample_mask"] = jnp.ones((b.shape[0],), jnp.float32)
             jb = {k: jb[k] for k in self._batch_keys}
+            if jax.process_count() > 1:
+                # multi-host: assemble global arrays from the (identical)
+                # host-local batch — jit can't place numpy onto
+                # non-addressable devices
+                from ..parallel.mesh import make_global_batch
+
+                jb = make_global_batch(jb, self.batch_shardings())
         return self._train_step(state, jb, rng)
 
     # ------------------------------------------------------------------

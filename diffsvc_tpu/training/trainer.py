@@ -59,7 +59,11 @@ class Trainer:
         self.global_step = 0
         self.epoch = 0
         self.best = None
-        self.writer = log_writer or self._build_writer()
+        # multi-host: checkpoints/TensorBoard are process-0-only (reference
+        # DDP rank-0-only saving, utils/pl_utils.py:1284)
+        self.is_proc0 = jax.process_index() == 0
+        self.writer = log_writer or (self._build_writer()
+                                     if self.is_proc0 else None)
         self.rng = jax.random.PRNGKey(hp.get("seed", 1234))
 
         # the reference SVCTask builds its vocoder in the ctor for validation
@@ -107,6 +111,10 @@ class Trainer:
             state = self.task.load_params_into_state(state, params)
             print(f"| warm-started from {hp['load_ckpt']}")
 
+        if jax.process_count() > 1 and self.mesh is not None:
+            # multi-host: replicate the (identical per-host) state globally
+            state = mesh_lib.make_global_tree(state, self.mesh)
+
         train_ds = FastSpeechDataset("train", hp, shuffle=True)
         valid_ds = FastSpeechDataset("valid", hp, shuffle=False)
         max_updates = int(max_steps or hp.get("max_updates", 1_000_000))
@@ -151,19 +159,21 @@ class Trainer:
                           f"lr {m['lr']:.2e} ({rate:.2f} it/s)")
                 if self.global_step % val_check_interval == 0:
                     val_loss = self.validate(state, valid_ds, pad_multiple)
-                    ckpt_lib.save_checkpoint(
-                        self.work_dir, state, self.epoch, self.global_step,
-                        best=self.best,
-                        num_ckpt_keep=int(self.hp.get("num_ckpt_keep", 10)),
-                        save_best=bool(self.hp.get("save_best", False)),
-                        monitor_value=val_loss)
+                    if self.is_proc0:
+                        ckpt_lib.save_checkpoint(
+                            self.work_dir, state, self.epoch, self.global_step,
+                            best=self.best,
+                            num_ckpt_keep=int(self.hp.get("num_ckpt_keep", 10)),
+                            save_best=bool(self.hp.get("save_best", False)),
+                            monitor_value=val_loss)
                 if self.global_step >= max_updates:
                     print("| TRAINING FINISHED: reached max_updates")
                     self.validate(state, valid_ds, pad_multiple)
-                    ckpt_lib.save_checkpoint(
-                        self.work_dir, state, self.epoch, self.global_step,
-                        best=self.best,
-                        num_ckpt_keep=int(self.hp.get("num_ckpt_keep", 10)))
+                    if self.is_proc0:
+                        ckpt_lib.save_checkpoint(
+                            self.work_dir, state, self.epoch, self.global_step,
+                            best=self.best,
+                            num_ckpt_keep=int(self.hp.get("num_ckpt_keep", 10)))
                     return state
             self.epoch += 1
         return state

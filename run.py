@@ -7,8 +7,12 @@ from diffsvc_tpu.config.hparams import hparams, set_hparams
 
 
 def run_task():
+    from diffsvc_tpu.parallel.mesh import maybe_initialize_distributed
     from diffsvc_tpu.training.trainer import Trainer
 
+    # multi-host: every host runs this same program; opt in with
+    # `distributed: true` or the JAX_COORDINATOR_ADDRESS env
+    maybe_initialize_distributed(hparams)
     assert hparams.get("task_cls", ""), "config must define task_cls"
     trainer = Trainer(hparams)
     if hparams.get("infer"):
