@@ -85,12 +85,15 @@ def maybe_initialize_distributed(hp=None) -> bool:
         return jax.process_count() > 1
     want = bool(hp.get("distributed")) if hp else False
     want = want or bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
-    if want:
-        jax.distributed.initialize()
-        _dist_initialized = True
-        print(f"| jax.distributed: process {jax.process_index()}"
-              f"/{jax.process_count()}, {len(jax.local_devices())} local"
-              f" / {len(jax.devices())} global devices")
+    if not want:
+        # do NOT query jax.process_count() here — that would initialize the
+        # backend and make a later in-process distributed init impossible
+        return False
+    jax.distributed.initialize()
+    _dist_initialized = True
+    print(f"| jax.distributed: process {jax.process_index()}"
+          f"/{jax.process_count()}, {len(jax.local_devices())} local"
+          f" / {len(jax.devices())} global devices")
     return jax.process_count() > 1
 
 
@@ -103,6 +106,14 @@ def make_global_batch(batch: dict, shardings: dict, force: bool = False) -> dict
     on all hosts, mirroring the reference's rank-symmetric sampler,
     training/task/tts.py:85-88), and each host's devices pull the slices
     they own via ``jax.make_array_from_callback``.
+
+    Scaling note: the callback only materializes on-device the shards a
+    host's devices own (no cross-host transfer), but each host still
+    collates the full global batch on CPU. For this model family the
+    binary dataset is pre-featurized, so collation is pad+copy and the
+    prefetch thread hides it; if host CPU ever bottlenecks at pod scale,
+    switch to per-host collation of a row slice +
+    ``jax.make_array_from_process_local_data``.
     """
     if jax.process_count() == 1 and not force:
         return batch

@@ -115,12 +115,14 @@ class SVCTask:
 
             repl = NamedSharding(self.mesh, P())
             batch_spec = self.batch_shardings()
+            self._batch_spec = batch_spec
             return jax.jit(
                 train_step,
                 in_shardings=(repl, batch_spec, repl),
                 out_shardings=(repl, repl),
                 donate_argnums=(0,),
             ), set(batch_spec)
+        self._batch_spec = None
         return jax.jit(train_step, donate_argnums=(0,)), None
 
     def batch_shardings(self):
@@ -163,7 +165,7 @@ class SVCTask:
                 # non-addressable devices
                 from ..parallel.mesh import make_global_batch
 
-                jb = make_global_batch(jb, self.batch_shardings())
+                jb = make_global_batch(jb, self._batch_spec)
         return self._train_step(state, jb, rng)
 
     # ------------------------------------------------------------------
@@ -182,7 +184,15 @@ class SVCTask:
         if self._val_step is None:
             self._val_step = self._make_val_step()
         # eval batches are small (max_eval_sentences) — run replicated
-        return self._val_step(params, self.prepare_batch(batch, shard=False), rng)
+        jb = self.prepare_batch(batch, shard=False)
+        if jax.process_count() > 1 and self.mesh is not None:
+            # multi-host: params are global arrays, so the batch must be
+            # global too — replicate it (every host holds the same bytes)
+            from ..parallel.mesh import make_global_batch, replicated
+
+            repl = replicated(self.mesh)
+            jb = make_global_batch(jb, {k: repl for k in jb})
+        return self._val_step(params, jb, rng)
 
     def sample(self, params, batch, rng, speedup: Optional[int] = None):
         """Full sampling for validation plots (not jit-cached across shapes)."""

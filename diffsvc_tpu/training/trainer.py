@@ -112,7 +112,25 @@ class Trainer:
             print(f"| warm-started from {hp['load_ckpt']}")
 
         if jax.process_count() > 1 and self.mesh is not None:
-            # multi-host: replicate the (identical per-host) state globally
+            # multi-host resume consistency: checkpoints are written by
+            # process 0 only, so on a non-shared filesystem other hosts may
+            # have restored nothing (or an older step). Broadcast process
+            # 0's state/counters to everyone before replicating globally —
+            # otherwise make_global_tree would silently assemble
+            # "replicated" arrays with divergent per-host shards and the
+            # step counters would desync (proc0 exits at max_updates while
+            # the rest hang in collectives).
+            from jax.experimental import multihost_utils
+
+            state = multihost_utils.broadcast_one_to_all(state)
+            meta = np.asarray(
+                [self.epoch, self.global_step,
+                 np.nan if self.best is None else float(self.best)],
+                np.float64)
+            meta = np.asarray(multihost_utils.broadcast_one_to_all(meta))
+            self.epoch, self.global_step = int(meta[0]), int(meta[1])
+            self.best = None if np.isnan(meta[2]) else float(meta[2])
+            state["step"] = np.asarray(self.global_step, np.int32)
             state = mesh_lib.make_global_tree(state, self.mesh)
 
         train_ds = FastSpeechDataset("train", hp, shuffle=True)
@@ -151,7 +169,7 @@ class Trainer:
                 state, metrics = self.task.train_step(state, batch, self.rng)
                 self.global_step += 1
                 seen += 1
-                if self.global_step % log_interval == 0:
+                if self.global_step % log_interval == 0 and self.is_proc0:
                     m = {k: float(v) for k, v in metrics.items()}
                     self._log("tr", m, self.global_step)
                     rate = seen / max(time.time() - t_start, 1e-9)
@@ -191,16 +209,24 @@ class Trainer:
         return BatchIterator(valid_ds, batches, pad_multiple=pad_multiple)
 
     def validate(self, state, valid_ds, pad_multiple: int = 128) -> float:
+        # every process runs the (identical, deterministic) validation —
+        # the SPMD program over global arrays needs all hosts to
+        # participate — but only process 0 logs/plots
         losses = []
         num_plots = int(self.hp.get("num_valid_plots", 10))
+        multihost = jax.process_count() > 1
         for i, batch in enumerate(self._val_batches(valid_ds, pad_multiple)):
             loss = self.task.val_step(state["params"], batch, self.rng)
             losses.append(float(loss))
-            if i < num_plots:
+            if i < num_plots and not multihost:
+                # plots run full sampling outside the SPMD step; skipped on
+                # multi-host (proc-0-only execution over global params
+                # would diverge the per-process programs)
                 self._plot_validation(state, batch, i)
         val_loss = float(np.mean(losses)) if losses else float("nan")
         self._log("val", {"loss": val_loss, "mel": val_loss}, self.global_step)
-        print(f"| val step {self.global_step}: loss {val_loss:.4f}")
+        if self.is_proc0:
+            print(f"| val step {self.global_step}: loss {val_loss:.4f}")
         return val_loss
 
     def _plot_validation(self, state, batch, idx: int):

@@ -46,7 +46,8 @@ def _batch(b=8, t_mel=64, t_ph=32, h=32, m=16):
     }
 
 
-def test_maybe_initialize_distributed_noop():
+def test_maybe_initialize_distributed_noop(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert mesh_lib.maybe_initialize_distributed(HParams()) is False
     assert jax.process_count() == 1
 
@@ -74,6 +75,23 @@ def test_global_array_assembly_matches_numpy_path():
     p2 = jax.tree.leaves(s2["params"])
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_val_step_on_globalized_replicated_batch():
+    """The multi-host validation path: a fully-replicated global batch fed
+    to the bare-jit val step must match the numpy-batch loss."""
+    mesh = mesh_lib.make_mesh(("data",))
+    task = SVCTask(_hp(), mesh=mesh)
+    params = task.init_state()["params"]
+    batch = _batch(b=2)
+    rng = jax.random.PRNGKey(3)
+    l1 = float(task.val_step(params, dict(batch), rng))
+
+    jb = task.prepare_batch(dict(batch), shard=False)
+    repl = mesh_lib.replicated(mesh)
+    jb = mesh_lib.make_global_batch(jb, {k: repl for k in jb}, force=True)
+    l2 = float(task._val_step(params, jb, rng))
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
 
 
 def test_make_global_batch_passes_non_array_keys():
