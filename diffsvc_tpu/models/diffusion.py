@@ -39,11 +39,14 @@ beta_schedule = {"cosine": cosine_beta_schedule, "linear": linear_beta_schedule}
 
 
 class DiffusionConfig(NamedTuple):
+    # defaults match from_hparams' fallbacks (= the reference's defaults
+    # when a config omits the keys: cosine schedule, max_beta 0.01 —
+    # diffusion.py:40,82-87; the shipped configs set linear/0.02 explicitly)
     timesteps: int = 1000
     K_step: int = 1000
-    loss_type: str = "l2"
-    schedule_type: str = "linear"
-    max_beta: float = 0.02
+    loss_type: str = "l1"
+    schedule_type: str = "cosine"
+    max_beta: float = 0.01
     keep_bins: int = 80
     pndm_speedup: int = 0
 
@@ -121,13 +124,19 @@ def p_losses(tables, denoise_fn, x_start, t, rng, loss_type: str = "l2",
     x_noisy = q_sample(tables, x_start, t, noise)
     x_recon = denoise_fn(x_noisy, t)
     if loss_type == "l1":
+        # reference semantics: time-masked but NOT renormalized over the
+        # mask (diffusion.py:213-218). sample_mask (our batch-padding
+        # extension) must renormalize over real rows, though — otherwise a
+        # padded remainder batch scales loss/grads by nsamples/padded.
+        err = jnp.abs(noise - x_recon)
         if nonpadding is not None:
-            w = nonpadding[:, :, None]
-            if sample_mask is not None:
-                w = w * sample_mask[:, None, None]
-            loss = (jnp.abs(noise - x_recon) * w).mean()
+            err = err * nonpadding[:, :, None]
+        if sample_mask is not None:
+            err = err * sample_mask[:, None, None]
+            denom = jnp.maximum(sample_mask.sum(), 1.0) * err.shape[1] * err.shape[2]
+            loss = err.sum() / denom
         else:
-            loss = jnp.abs(noise - x_recon).mean()
+            loss = err.mean()
     elif loss_type == "l2":
         sq = (noise - x_recon) ** 2
         if sample_mask is not None:
@@ -189,7 +198,11 @@ def p_sample_plms_scan(tables, denoise_fn, x, t_start: int, interval: int):
     The noise ring buffer holds the last 3 predictions; the Adams–Bashforth
     order ramps 1->4 over the first steps exactly like the reference deque.
     """
-    n_steps = max(t_start // interval, 1)
+    # reference grid: reversed(range(0, t_start, interval)) — ceil(t/i) steps
+    # starting at the highest multiple of interval below t_start
+    # (diffusion.py:272-274); floor would skip the noisiest step whenever
+    # interval does not divide t_start
+    n_steps = max(-(-t_start // interval), 1)
     ts = (jnp.arange(n_steps - 1, -1, -1) * interval).astype(jnp.int32)
 
     def body(carry, t):
@@ -235,7 +248,9 @@ def p_sample_dpmpp_2m_scan(tables, denoise_fn, x, t_start: int, interval: int):
         x_{i+1}= (sigma_{i+1}/sigma_i) x_i - alpha_{i+1} expm1(-h_i) D_i
     with h_i = lambda_{i+1} - lambda_i; first step falls back to 1st order.
     """
-    n_steps = max(t_start // interval, 1)
+    # ceil like the PLMS grid so the first visited step is t_start-1 (the
+    # initial x is pure noise calibrated there) for any interval
+    n_steps = max(-(-t_start // interval), 1)
     # timesteps visited: t_start-interval*k (k=0..n_steps-1) then 0
     ts = np.concatenate([np.arange(n_steps - 1, -1, -1) * interval
                          + (interval - 1), [0]]).astype(np.int32)
@@ -264,7 +279,7 @@ def p_sample_dpmpp_2m_scan(tables, denoise_fn, x, t_start: int, interval: int):
 
     pairs = (jnp.asarray(ts[:-1]), jnp.asarray(ts[1:]))
     init = (x, jnp.zeros_like(x), jnp.float32(1.0), jnp.float32(0.0))
-    (x, x0_last, _, _), _ = jax.lax.scan(body, init, pairs)
+    (x, _, _, _), _ = jax.lax.scan(body, init, pairs)
     # final step lands on t=0: return the data prediction there
     tb0 = jnp.zeros((x.shape[0],), jnp.int32)
     eps0 = denoise_fn(x, tb0)
@@ -343,13 +358,23 @@ class GaussianDiffusion:
             return out.astype(jnp.float32)
         return fn
 
-    def training_loss(self, params, batch, rng):
-        """batch: dict with hubert, mel2ph, f0, uv, energy, mels [B,T,M]."""
+    def training_loss(self, params, batch, rng, train: bool = True):
+        """batch: dict with hubert, mel2ph, f0, uv, energy, mels [B,T,M].
+
+        ``train=False`` (validation) disables dropout like the reference's
+        eval mode."""
+        t_rng, n_rng, fs2_rng = jax.random.split(rng, 3)
+        # fs2-full (no_fs2: false) trains its transformer with dropout like
+        # the reference (EncSALayer, common_layers.py:581,588); the default
+        # no_fs2 path has no transformer so it stays deterministic
+        train_fs2 = (train and not self.fs2_cfg.no_fs2
+                     and self.fs2_cfg.dropout > 0)
         ret = fs2.apply(params["fs2"], self.fs2_cfg, batch["hubert"],
                         batch["mel2ph"], batch["f0"], batch.get("uv"),
-                        batch.get("energy"), batch.get("spk_embed"))
+                        batch.get("energy"), batch.get("spk_embed"),
+                        deterministic=not train_fs2,
+                        rng=fs2_rng if train_fs2 else None)
         cond = ret["decoder_inp"]
-        t_rng, n_rng = jax.random.split(rng)
         b = cond.shape[0]
         t = jax.random.randint(t_rng, (b,), 0, self.cfg.K_step)
         x_start = norm_spec(batch["mels"], self.spec_min, self.spec_max)

@@ -124,7 +124,7 @@ def apply(params, cfg: FS2Config, hubert, mel2ph, f0, uv=None, energy=None,
         encoder_out = tts_modules.apply_fft_blocks(
             params["encoder"], x, src_padding_mask, cfg.num_heads,
             cfg.enc_ffn_kernel_size, dropout=0.0 if deterministic else cfg.dropout,
-            rng=rng)
+            rng=None if rng is None else jax.random.fold_in(rng, 0))
 
     if cfg.use_spk_id and spk_embed is not None:
         spk = nn.embedding(params["spk_embed_proj"], spk_embed)[:, None, :]
@@ -161,6 +161,6 @@ def apply(params, cfg: FS2Config, hubert, mel2ph, f0, uv=None, energy=None,
         x = tts_modules.apply_fft_blocks(
             params["decoder"], x, dec_padding_mask, cfg.num_heads,
             cfg.dec_ffn_kernel_size, dropout=0.0 if deterministic else cfg.dropout,
-            rng=rng)
+            rng=None if rng is None else jax.random.fold_in(rng, 1))
         ret["mel_out"] = nn.linear(params["mel_out"], x) * tgt_nonpadding
     return ret

@@ -183,7 +183,8 @@ def sinusoidal_pos_emb(t, dim: int):
 
 def sinusoidal_positional_embedding(length: int, dim: int, offset: int = 1):
     """fairseq-style sinusoidal table used by the transformer stack
-    (common_layers.py:88-147): interleaved sin/cos with padding_idx shift."""
+    (common_layers.py:88-147): concatenated [sin | cos] halves (fairseq
+    get_embedding layout — NOT interleaved) with padding_idx shift."""
     half_dim = dim // 2
     emb = math.log(10000.0) / (half_dim - 1)
     emb = np.exp(np.arange(half_dim, dtype=np.float64) * -emb)

@@ -68,7 +68,16 @@ def init_ffn(key, dim: int, kernel_size: int):
     }
 
 
-def ffn(p, x, kernel_size: int, act: str = "gelu"):
+def _dropout(x, rate: float, rng):
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def ffn(p, x, kernel_size: int, act: str = "gelu", dropout: float = 0.0,
+        rng=None):
     y = nn.conv1d(p["conv"], x, padding=kernel_size // 2)
     # torch Conv1d(padding=k//2) with even k yields T+1 outputs; torch keeps
     # them all but the reference always uses odd kernels (9). Guard anyway.
@@ -78,6 +87,8 @@ def ffn(p, x, kernel_size: int, act: str = "gelu"):
         y = jax.nn.gelu(y)
     elif act == "relu":
         y = jax.nn.relu(y)
+    # reference relu_dropout inside TransformerFFNLayer (common_layers.py:523)
+    y = _dropout(y, dropout, rng)
     return nn.linear(p["out"], y)
 
 
@@ -91,15 +102,27 @@ def init_enc_layer(key, dim: int, kernel_size: int):
     }
 
 
-def apply_enc_layer(p, x, num_heads, kernel_size, padding_mask, dropout=0.0, rng=None):
+def apply_enc_layer(p, x, num_heads, kernel_size, padding_mask, dropout=0.0,
+                    rng=None, relu_dropout=0.1):
+    """Pre-LN transformer block (reference EncSALayer,
+    common_layers.py:545-592): dropout after attention and after the FFN at
+    ``dropout``, plus the FFN-internal relu_dropout (0.1 in the reference).
+    Inference passes dropout=0 / rng=None -> deterministic."""
+    if rng is not None:
+        r1, r2, r3 = jax.random.split(rng, 3)
+    else:
+        r1 = r2 = r3 = None
     nonpadding = 1.0 - padding_mask.astype(x.dtype)[:, :, None]
     res = x
     y = nn.layer_norm(p["ln1"], x)
     y = mha(p["attn"], y, num_heads, key_padding_mask=padding_mask)
+    y = _dropout(y, dropout, r1)
     x = (res + y) * nonpadding
     res = x
     y = nn.layer_norm(p["ln2"], x)
-    y = ffn(p["ffn"], y, kernel_size)
+    y = ffn(p["ffn"], y, kernel_size,
+            dropout=relu_dropout if dropout > 0.0 else 0.0, rng=r2)
+    y = _dropout(y, dropout, r3)
     x = (res + y) * nonpadding
     return x
 
@@ -116,8 +139,10 @@ def init_fft_blocks(key, dim: int, num_layers: int, kernel_size: int,
 def apply_fft_blocks(p, x, padding_mask, num_heads, kernel_size, dropout=0.0, rng=None):
     nonpadding = 1.0 - padding_mask.astype(x.dtype)[:, :, None]
     x = x * nonpadding
-    for lp in p["layers"]:
-        x = apply_enc_layer(lp, x, num_heads, kernel_size, padding_mask, dropout, rng)
+    for i, lp in enumerate(p["layers"]):
+        lrng = jax.random.fold_in(rng, i) if rng is not None else None
+        x = apply_enc_layer(lp, x, num_heads, kernel_size, padding_mask,
+                            dropout, lrng)
     if "ln" in p:
         x = nn.layer_norm(p["ln"], x) * nonpadding
     return x

@@ -175,7 +175,7 @@ class SVCTask:
 
         def val_step(params, batch, rng):
             with jax.default_matmul_precision(precision):
-                loss, _ = model.training_loss(params, batch, rng)
+                loss, _ = model.training_loss(params, batch, rng, train=False)
             return loss
 
         return jax.jit(val_step)

@@ -112,7 +112,9 @@ def test_plms_scan_matches_reference_ladder():
     def denoise_jax(x, t):
         return x @ jnp.asarray(W) + 0.001 * t[:, None, None].astype(x.dtype)
 
-    for interval in (10, 25, 50, 100):
+    # non-divisor intervals (7, 30, 33) exercise the ceil(t/interval) grid:
+    # reference reversed(range(0, 100, 30)) starts at t=90, not t=60
+    for interval in (7, 10, 25, 30, 33, 50, 100):
         x_ref = _numpy_plms_reference(tables, denoise_np, x0.copy(), 100, interval)
         x_jax = D.p_sample_plms_scan(tables, denoise_jax, jnp.asarray(x0), 100, interval)
         np.testing.assert_allclose(np.asarray(x_jax), x_ref, rtol=2e-3, atol=2e-4)
@@ -146,3 +148,43 @@ def test_p_losses_zero_when_predicting_noise():
     captured["noise"] = noise
     loss = D.p_losses(tables, perfect_denoise, x0, jnp.array([5, 500]), rng, "l2")
     assert float(loss) < 1e-10
+
+
+def test_p_losses_sample_mask_exact_for_both_loss_types():
+    """Padding the batch axis with masked rows must not change the loss —
+    for l2 AND l1 (the l1 denominator must renormalize over real rows)."""
+    cfg = _cfg()
+    tables = D.make_tables(cfg)
+    rng = jax.random.PRNGKey(7)
+    b_real, b_pad, T, M = 5, 8, 4, 8
+    x0 = jax.random.normal(jax.random.fold_in(rng, 1), (b_real, T, M))
+    nonpad = jnp.ones((b_real, T))
+    t = jnp.arange(b_real) * 3 + 2
+
+    def denoise(x, tt):
+        return 0.1 * x
+
+    for loss_type in ("l1", "l2"):
+        base = D.p_losses(tables, denoise, x0, t, rng, loss_type,
+                          nonpadding=nonpad,
+                          sample_mask=jnp.ones((b_real,)))
+        x0p = jnp.concatenate([x0, jnp.zeros((b_pad - b_real, T, M))])
+        tp = jnp.concatenate([t, jnp.zeros((b_pad - b_real,), t.dtype)])
+        nonpadp = jnp.concatenate([nonpad, jnp.ones((b_pad - b_real, T))])
+        mask = jnp.concatenate([jnp.ones((b_real,)),
+                                jnp.zeros((b_pad - b_real,))])
+        # the same per-row noise draws: p_losses draws noise for the whole
+        # batch, so compare padded-masked vs a mask of ones at size b_real
+        padded = D.p_losses(tables, denoise, x0p, tp, rng, loss_type,
+                            nonpadding=nonpadp, sample_mask=mask)
+        # rows are independent given per-row noise; the padded rows are
+        # masked out, so the normalized losses must agree closely (noise
+        # differs only through the batch-shaped PRNG draw)
+        assert np.isfinite(float(padded))
+        # exactness check with identical noise: mask-weighted renorm
+        noise = jax.random.normal(rng, x0p.shape)
+        xn = D.q_sample(tables, x0p, tp, noise)
+        err = jnp.abs(noise - denoise(xn, tp)) if loss_type == "l1" else (
+            noise - denoise(xn, tp)) ** 2
+        manual_real = (err[:b_real]).mean()
+        np.testing.assert_allclose(float(padded), float(manual_real), rtol=1e-5)
