@@ -76,9 +76,11 @@ def forward(params, frames):
 
     x = frames[:, :, None]  # [N, T, C=1]
     for lp, k, s in zip(params["layers"], KERNELS, STRIDES):
-        # torchcrepe zero-pads to 'same' before each strided conv
-        pad_lo = (k - s) // 2 if s > 1 else k // 2
-        pad_hi = k - s - pad_lo if s > 1 else k // 2 - 1 + (k % 2)
+        # torchcrepe zero-pads to 'same' before each conv: (254, 254) for
+        # the k=512 s=4 first layer, (31, 32) — LOW side first — for the
+        # k=64 s=1 layers (torchcrepe model.py layer() default padding)
+        pad_lo = (k - s) // 2 if s > 1 else (k - 1) // 2
+        pad_hi = k - s - pad_lo if s > 1 else k // 2
         xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)))
         x = nn.conv1d(lp["conv"], xp, stride=s, padding=0)
         x = jax.nn.relu(x)
@@ -87,7 +89,10 @@ def forward(params, frames):
         # max pool 2 along time
         t = x.shape[1] - (x.shape[1] % 2)
         x = x[:, :t].reshape(x.shape[0], t // 2, 2, x.shape[2]).max(axis=2)
-    x = x.transpose(0, 2, 1).reshape(x.shape[0], -1)  # channel-major flatten
+    # time-major flatten (t*C + c): torchcrepe permutes [N,C,T,1] ->
+    # [N,T,C,1] before reshape, which is exactly [N,T,C].reshape here —
+    # the converted classifier weights expect this in-feature order
+    x = x.reshape(x.shape[0], -1)
     logits = nn.linear(params["classifier"], x)
     return jax.nn.sigmoid(logits)
 
@@ -112,8 +117,9 @@ def _viterbi(probs: jnp.ndarray, transition_width: int = 12):
     trans = jnp.maximum(transition_width - d, 0).astype(jnp.float32)
     trans = trans / trans.sum(axis=1, keepdims=True)
     log_trans = jnp.log(jnp.maximum(trans, 1e-12))
-    log_obs = jnp.log(jnp.maximum(probs / jnp.maximum(
-        probs.sum(axis=1, keepdims=True), 1e-12), 1e-12))
+    # torchcrepe decode.viterbi applies softmax to the (sigmoid) network
+    # output before the librosa viterbi — NOT plain sum-normalization
+    log_obs = jax.nn.log_softmax(probs, axis=1)
 
     def step(carry, obs):
         score = carry
@@ -129,8 +135,9 @@ def _viterbi(probs: jnp.ndarray, transition_width: int = 12):
     def backtrack(idx, bp):
         return bp[idx], idx
 
-    _, path_rev = jax.lax.scan(backtrack, last, back, reverse=True)
-    return jnp.concatenate([path_rev, last[None]])
+    # final carry = frame 0's bin; emitted ys cover frames 1..n-1
+    first, path_rev = jax.lax.scan(backtrack, last, back, reverse=True)
+    return jnp.concatenate([first[None], path_rev])
 
 
 def decode(probs: jnp.ndarray):
@@ -149,15 +156,29 @@ def decode(probs: jnp.ndarray):
 
 
 def median_filter(x: np.ndarray, win: int = 3):
-    from scipy.ndimage import median_filter as mf
-
-    return mf(x, size=win, mode="nearest")
+    """torchcrepe filter.median parity: NaN-aware sliding median with NaN
+    edge padding (missing values shrink the window)."""
+    half = win // 2
+    xp = np.concatenate([np.full(half, np.nan), np.asarray(x, np.float64),
+                         np.full(half, np.nan)])
+    sw = np.lib.stride_tricks.sliding_window_view(xp, win)
+    with np.errstate(all="ignore"):
+        return np.nanmedian(sw, axis=1)
 
 
 def mean_filter(x: np.ndarray, win: int = 3):
-    from scipy.ndimage import uniform_filter1d
-
-    return uniform_filter1d(x, size=win, mode="nearest")
+    """torchcrepe filter.mean parity: NaN-aware windowed mean — NaNs count
+    as missing (not as zeros), all-NaN windows stay NaN. Averaging zeros in
+    place of NaNs would drag voiced f0 toward 0 at every voicing boundary."""
+    half = win // 2
+    xp = np.concatenate([np.full(half, np.nan), np.asarray(x, np.float64),
+                         np.full(half, np.nan)])
+    valid = ~np.isnan(xp)
+    vals = np.where(valid, xp, 0.0)
+    k = np.ones(win)
+    ksum = np.convolve(vals, k, mode="valid")
+    kcnt = np.convolve(valid.astype(np.float64), k, mode="valid")
+    return np.where(kcnt > 0, ksum / np.maximum(kcnt, 1.0), np.nan)
 
 
 def load_crepe(path: str) -> Dict:
@@ -213,10 +234,10 @@ def get_pitch_crepe(wav: np.ndarray, mel: np.ndarray, hp, threshold=0.05,
     db = 20 * np.log10(np.maximum(rms, 1e-10))
     pd[db < -60.0] = 0.0
     f0 = np.where(pd < threshold, np.nan, f0)
-    # mean filter (win 3) over the track, then NaN (unvoiced) -> 0
-    unvoiced = np.isnan(f0)
-    f0 = mean_filter(np.where(unvoiced, 0.0, f0), 3)
-    f0[unvoiced] = 0.0
+    # NaN-aware mean filter (win 3), then NaN (unvoiced) -> 0
+    # (data_gen_utils.py:210-213)
+    f0 = mean_filter(f0, 3)
+    f0 = np.where(np.isnan(f0), 0.0, f0).astype(np.float32)
 
     # interp voiced f0 onto mel frame times (5 ms crepe grid -> hop grid)
     nz = np.nonzero(f0)[0]

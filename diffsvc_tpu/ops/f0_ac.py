@@ -175,8 +175,11 @@ def _viterbi(cand_freq, cand_strength, time_step_correction):
         prev = bp[idx]
         return prev, idx
 
-    _, path_rev = jax.lax.scan(backtrack, last, back, reverse=True)
-    path = jnp.concatenate([path_rev, last[None]])
+    # reverse scan emits the CURRENT node while stepping to its
+    # predecessor, so ys = [idx_1..idx_{n-1}] and the final carry is
+    # frame 0's index — it belongs at the FRONT of the path
+    first, path_rev = jax.lax.scan(backtrack, last, back, reverse=True)
+    path = jnp.concatenate([first[None], path_rev])
     return path
 
 

@@ -66,6 +66,10 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float,
     """Triangular mel filterbank [n_mels, 1+n_fft//2] (librosa-compatible)."""
     if fmax is None or fmax <= 0:
         fmax = sr / 2.0
+    if fmin == -1:
+        # reference process_utterance: 'fmin = 0 if fmin == -1 else fmin'
+        # (data_gen_utils.py:130)
+        fmin = 0.0
     fftfreqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
     mel_pts = np.linspace(hz_to_mel(fmin, htk), hz_to_mel(fmax, htk), n_mels + 2)
     hz_pts = mel_to_hz(mel_pts, htk)
@@ -94,7 +98,7 @@ def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
 
 def stft_mag(y: jnp.ndarray, n_fft: int, hop: int, win_length: int,
              center: bool = True, pad_mode: str = "constant",
-             mag_eps: float = 0.0) -> jnp.ndarray:
+             mag_eps: float = 0.0, power_floor: float = 0.0) -> jnp.ndarray:
     """Magnitude STFT [n_frames, 1+n_fft//2] of a 1-D signal.
 
     ``center=True`` pads n_fft//2 on both sides (librosa semantics); a
@@ -110,6 +114,10 @@ def stft_mag(y: jnp.ndarray, n_fft: int, hop: int, win_length: int,
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     if mag_eps > 0:
         return jnp.sqrt(spec.real**2 + spec.imag**2 + mag_eps)
+    if power_floor > 0:
+        # parallel_wavegan-style clamp: sqrt(max(power, floor)) — finite
+        # gradient at exactly-zero bins (stft_loss.py:25)
+        return jnp.sqrt(jnp.maximum(spec.real**2 + spec.imag**2, power_floor))
     return jnp.abs(spec)
 
 

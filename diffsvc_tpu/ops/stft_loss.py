@@ -28,8 +28,13 @@ def log_stft_magnitude(mag_pred, mag_gt):
 
 
 def stft_loss(y_pred, y_gt, fft_size: int, hop: int, win: int):
-    mp = stft_mag(y_pred, fft_size, hop, win, center=True, pad_mode="reflect")
-    mg = stft_mag(y_gt, fft_size, hop, win, center=True, pad_mode="reflect")
+    # parallel_wavegan clamps the POWER at 1e-7 before sqrt
+    # (stft_loss.py:25) — sets the silent-frame log floor to log sqrt(1e-7)
+    # and keeps the gradient finite when a predicted bin is exactly 0
+    mp = stft_mag(y_pred, fft_size, hop, win, center=True,
+                  pad_mode="reflect", power_floor=1e-7)
+    mg = stft_mag(y_gt, fft_size, hop, win, center=True,
+                  pad_mode="reflect", power_floor=1e-7)
     return spectral_convergence(mp, mg), log_stft_magnitude(mp, mg)
 
 

@@ -71,3 +71,86 @@ def test_pe_task_train_step():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]  # learns the constant target quickly
+
+
+def test_crepe_filters_are_nan_aware():
+    """torchcrepe filter parity: NaN neighbors are missing values, not
+    zeros — a voiced frame next to an unvoiced gap must keep its pitch."""
+    from diffsvc_tpu.ops.crepe import mean_filter, median_filter
+
+    f0 = np.array([np.nan, 440.0, 442.0, np.nan, np.nan], np.float64)
+    m = mean_filter(f0, 3)
+    np.testing.assert_allclose(m[1], 441.0)       # mean of {440, 442}
+    np.testing.assert_allclose(m[2], 441.0)       # mean of {440, 442}
+    assert np.isnan(m[4])                         # all-NaN window stays NaN
+    md = median_filter(np.array([1.0, 9.0, 2.0, 3.0, 8.0]), 3)
+    np.testing.assert_allclose(md[1:4], [2.0, 3.0, 3.0])
+
+
+def test_crepe_viterbi_matches_bruteforce():
+    import itertools
+
+    import jax.numpy as jnp
+
+    from diffsvc_tpu.ops.crepe import _viterbi
+
+    rng = np.random.RandomState(0)
+    n_frames, n_bins = 4, 6
+    probs = rng.uniform(0.01, 1.0, (n_frames, n_bins)).astype(np.float32)
+
+    # oracle: max-product over log_softmax obs + band transition prior
+    d = np.abs(np.arange(n_bins)[:, None] - np.arange(n_bins)[None, :])
+    trans = np.maximum(12 - d, 0).astype(np.float64)
+    trans = trans / trans.sum(axis=1, keepdims=True)
+    lt = np.log(np.maximum(trans, 1e-12))
+    lo = probs - probs.max(axis=1, keepdims=True)
+    lo = lo - np.log(np.exp(lo).sum(axis=1, keepdims=True))
+    best, best_s = None, -np.inf
+    for path in itertools.product(range(n_bins), repeat=n_frames):
+        s = lo[0, path[0]] - np.log(n_bins)
+        for i in range(1, n_frames):
+            s += lt[path[i - 1], path[i]] + lo[i, path[i]]
+        if s > best_s:
+            best_s, best = s, path
+    got = np.asarray(_viterbi(jnp.asarray(probs)))
+    np.testing.assert_array_equal(got, np.asarray(best))
+
+
+def test_crepe_conv_padding_torch_parity():
+    """The full conv stack (asymmetric same-padding + pooling + flatten)
+    must match an independent torch implementation of torchcrepe's
+    layer()/forward() wiring with the SAME converted weights."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from diffsvc_tpu.ops import crepe as C
+
+    rng = np.random.RandomState(1)
+    params = C.init(jax.random.PRNGKey(0))
+    x_np = rng.randn(2, 1024).astype(np.float32)
+    ours = np.asarray(C.forward(params, jnp.asarray(x_np)))
+
+    x = torch.from_numpy(x_np)[:, None, :, None]  # [N, 1, 1024, 1]
+    for lp, k, s in zip(params["layers"], C.KERNELS, C.STRIDES):
+        w = torch.from_numpy(np.asarray(lp["conv"]["w"]))  # [k, in, out]
+        w4 = w.permute(2, 1, 0)[..., None]  # [out, in, k, 1]
+        b = torch.from_numpy(np.asarray(lp["conv"]["b"]))
+        if s > 1:
+            pad = ((k - s) // 2, k - s - (k - s) // 2)
+        else:
+            pad = ((k - 1) // 2, k // 2)
+        x = F.pad(x, (0, 0, pad[0], pad[1]))
+        x = F.conv2d(x, w4, b, stride=(s, 1))
+        x = F.relu(x)
+        bn = lp["bn"]
+        x = F.batch_norm(x, torch.from_numpy(np.asarray(bn["mean"])),
+                         torch.from_numpy(np.asarray(bn["var"])),
+                         torch.from_numpy(np.asarray(bn["scale"])),
+                         torch.from_numpy(np.asarray(bn["bias"])), eps=1e-5)
+        x = F.max_pool2d(x, (2, 1), (2, 1))
+    x = x.permute(0, 2, 1, 3).reshape(x.shape[0], -1)  # torchcrepe flatten
+    w = torch.from_numpy(np.asarray(params["classifier"]["w"]))
+    b = torch.from_numpy(np.asarray(params["classifier"]["b"]))
+    theirs = torch.sigmoid(x @ w + b).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-5)

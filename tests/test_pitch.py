@@ -130,3 +130,40 @@ def test_ac_pitch_noisy_singing_octave_stability():
     # no octave jumps: all voiced frames within +-40% of the median
     frac_outliers = float(((voiced < 0.6 * med) | (voiced > 1.6 * med)).mean())
     assert frac_outliers < 0.02, frac_outliers
+
+
+def test_ac_viterbi_backtrack_alignment():
+    """The decoded path must include frame 0's own decision (a brute-force
+    max-product decode over a tiny candidate lattice is the oracle)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from diffsvc_tpu.ops.f0_ac import (_viterbi, OCTAVE_JUMP_COST,
+                                       VOICED_UNVOICED_COST)
+
+    rng = np.random.RandomState(3)
+    n_frames, n_cand = 5, 3
+    # candidate 0 = unvoiced (freq 0), others voiced with random freqs
+    freq = np.zeros((n_frames, n_cand), np.float32)
+    freq[:, 1:] = rng.uniform(100, 400, (n_frames, n_cand - 1))
+    strength = rng.uniform(0.1, 1.0, (n_frames, n_cand)).astype(np.float32)
+    tsc = 1.0
+
+    def cost(fp, fc):
+        vp, vc = fp > 0, fc > 0
+        if vp and vc:
+            return OCTAVE_JUMP_COST * tsc * abs(np.log2(max(fp, 1e-6) / max(fc, 1e-6)))
+        return 0.0 if vp == vc else VOICED_UNVOICED_COST * tsc
+
+    best_path, best_score = None, -np.inf
+    for path in itertools.product(range(n_cand), repeat=n_frames):
+        s = strength[0, path[0]]
+        for i in range(1, n_frames):
+            s += strength[i, path[i]] - cost(freq[i - 1, path[i - 1]],
+                                             freq[i, path[i]])
+        if s > best_score:
+            best_score, best_path = s, path
+
+    got = np.asarray(_viterbi(jnp.asarray(freq), jnp.asarray(strength), tsc))
+    np.testing.assert_array_equal(got, np.asarray(best_path))

@@ -29,3 +29,26 @@ def test_compare_mel_mcd():
     assert stats3["mcd_db"] > 1.0
     # length mismatch handled
     assert compare_mels(a, a[:50])["frames"] == 50
+
+
+def test_cwt_f0_reconstruction_roundtrip():
+    """pitch_type: cwt path — decompose a smooth f0 curve, reconstruct via
+    cwt2f0 with the utterance lf0 stats (reference utils/cwt.py:137-147):
+    the z-norm + rescale must recover the curve's scale and shape."""
+    import numpy as np
+
+    from diffsvc_tpu.ops.cwt import get_cont_lf0, get_lf0_cwt, norm_scale, cwt2f0
+
+    t = np.arange(400) * 0.005
+    f0 = 220.0 * 2 ** (0.3 * np.sin(2 * np.pi * 5.0 * t))  # 5 Hz vibrato
+    uv, lf0 = get_cont_lf0(f0)
+    lmean, lstd = lf0.mean(), lf0.std()
+    W, scales = get_lf0_cwt((lf0 - lmean) / lstd)
+    Wn, _, _ = norm_scale(W)
+    rec = cwt2f0(Wn, lmean, lstd, scales)
+    assert rec.shape == f0.shape
+    # reconstruction from 10 dyadic scales is approximate: demand high
+    # correlation and the correct overall register
+    c = np.corrcoef(np.log(rec), np.log(f0))[0, 1]
+    assert c > 0.85, c
+    assert abs(np.log(rec).mean() - np.log(f0).mean()) < 0.1
