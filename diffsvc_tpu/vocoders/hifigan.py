@@ -24,6 +24,27 @@ from . import generator
 from .base import BaseVocoder, register_vocoder
 
 
+def bucket_mel_f0(hp, mel, f0):
+    """Opt-in vocoder length bucketing (``voc_bucket_frames``): pad the mel
+    time axis up to a bucket multiple (with the utterance's silence-floor
+    value; f0 padded with 0) so each length bucket compiles ONCE instead of
+    one 20-70 s TPU compile per distinct clip length. Callers trim the wav
+    back to t_real*hop. Off (0) by default — padding bleeds into the last
+    ~receptive-field samples, so reference-exact output keeps exact shapes.
+
+    Returns (mel, f0, t_real)."""
+    bucket = int(hp.get("voc_bucket_frames", 0) or 0)
+    mel = np.asarray(mel, np.float32)
+    t_real = mel.shape[0]
+    if bucket <= 1 or t_real % bucket == 0:
+        return mel, f0, t_real
+    pad = bucket - t_real % bucket
+    mel = np.pad(mel, ((0, pad), (0, 0)), constant_values=float(mel.min()))
+    if f0 is not None:
+        f0 = np.pad(np.asarray(f0, np.float32), (0, pad))
+    return mel, f0, t_real
+
+
 def load_model(config_path: str, file_path: str, use_nsf: bool):
     if config_path.endswith(".yaml"):
         config = load_config_chain(config_path)
@@ -70,8 +91,9 @@ class HifiGAN(BaseVocoder):
 
     def spec2wav(self, mel, **kwargs):
         """mel [T, M] log10-mel -> wav [T*hop]."""
+        mel, f0_in, t_real = bucket_mel_f0(self.hp, mel, kwargs.get("f0"))
         c = jnp.asarray(np.asarray(mel, np.float32))[None]
-        f0 = kwargs.get("f0")
+        f0 = f0_in
         if f0 is not None and self.hp.get("use_nsf"):
             f0 = jnp.asarray(np.asarray(f0, np.float32))[None]
             rng = jax.random.PRNGKey(kwargs.get("seed", 0))
@@ -79,6 +101,8 @@ class HifiGAN(BaseVocoder):
         else:
             y = self._apply_nof0(self.params, c)
         wav_out = np.asarray(y[0])
+        if mel.shape[0] != t_real:  # bucketed: trim back to the real length
+            wav_out = wav_out[: t_real * int(self.hp["hop_size"])]
         if float(self.hp.get("vocoder_denoise_c", 0.0) or 0.0) > 0:
             from .vocoder_utils import denoise
 

@@ -38,6 +38,9 @@ def init(key, cfg: MelGANConfig):
             stacks_i.append({
                 "c1": nn.init_conv1d(next(keys), cfg.stack_kernel_size, ch, ch),
                 "c2": nn.init_conv1d(next(keys), 1, ch, ch),
+                # learned 1x1 skip conv (residual_stack.py:62-63), NOT an
+                # identity residual
+                "skip": nn.init_conv1d(next(keys), 1, ch, ch),
             })
         blocks.append(stacks_i)
     p["ups"] = ups
@@ -46,9 +49,17 @@ def init(key, cfg: MelGANConfig):
     return p
 
 
+def _reflect_pad(x, pad: int):
+    return jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+
+
 def apply(params, cfg: MelGANConfig, mel: jnp.ndarray) -> jnp.ndarray:
-    """mel [B, T, M] -> wav [B, T * prod(scales)]."""
-    x = nn.conv1d(params["conv_in"], mel, padding=3)
+    """mel [B, T, M] -> wav [B, T * prod(scales)].
+
+    Reference melgan.py / residual_stack.py: ReflectionPad1d (not zeros)
+    before every non-strided conv; each residual stack returns
+    stack(c) + skip_1x1(c)."""
+    x = nn.conv1d(params["conv_in"], _reflect_pad(mel, 3), padding=0)
     for rate, up, stacks in zip(cfg.upsample_scales, params["ups"],
                                 params["blocks"]):
         x = jax.nn.leaky_relu(x, 0.2)
@@ -57,10 +68,10 @@ def apply(params, cfg: MelGANConfig, mel: jnp.ndarray) -> jnp.ndarray:
             d = cfg.stack_kernel_size**j
             y = jax.nn.leaky_relu(x, 0.2)
             pad = (cfg.stack_kernel_size - 1) // 2 * d
-            y = nn.conv1d(blk["c1"], y, dilation=d, padding=pad)
+            y = nn.conv1d(blk["c1"], _reflect_pad(y, pad), dilation=d, padding=0)
             y = jax.nn.leaky_relu(y, 0.2)
             y = nn.conv1d(blk["c2"], y)
-            x = x + y
+            x = nn.conv1d(blk["skip"], x) + y
     x = jax.nn.leaky_relu(x, 0.2)
-    x = nn.conv1d(params["conv_out"], x, padding=3)
+    x = nn.conv1d(params["conv_out"], _reflect_pad(x, 3), padding=0)
     return jnp.tanh(x)[:, :, 0]

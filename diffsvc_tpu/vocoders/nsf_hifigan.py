@@ -60,15 +60,20 @@ class NsfHifiGAN(BaseVocoder):
 
     def spec2wav(self, mel, **kwargs):
         """mel [T, M] log10-mel -> wav. log10 -> ln conversion inside."""
-        c = jnp.asarray(np.asarray(mel, np.float32))[None] * mel_ops.LN_10
-        f0 = kwargs.get("f0")
+        from .hifigan import bucket_mel_f0
+
+        mel, f0, t_real = bucket_mel_f0(self.hp, mel, kwargs.get("f0"))
+        c = jnp.asarray(mel)[None] * mel_ops.LN_10
         if f0 is not None and self.hp.get("use_nsf"):
             f0 = jnp.asarray(np.asarray(f0, np.float32))[None]
             rng = jax.random.PRNGKey(kwargs.get("seed", 0))
             y = self._apply(self.params, c, f0, rng)
         else:
             y = self._apply_nof0(self.params, c)
-        return np.asarray(y[0])
+        wav_out = np.asarray(y[0])
+        if mel.shape[0] != t_real:  # bucketed: trim back to the real length
+            wav_out = wav_out[: t_real * int(self.hp["hop_size"])]
+        return wav_out
 
     @staticmethod
     def wav2spec(inp_path, hp=None):

@@ -2,7 +2,7 @@
 
 Parity target: vendored parallel_wavegan ``layers/pqmf.py`` — N-band
 analysis/synthesis with a Kaiser-windowed prototype lowpass (taps=62,
-cutoff≈0.142, beta=9.0 for 4 bands).
+cutoff=0.15, beta=9.0 for 4 bands).
 """
 
 from __future__ import annotations
@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 
-def design_prototype_filter(taps: int = 62, cutoff_ratio: float = 0.142,
+def design_prototype_filter(taps: int = 62, cutoff_ratio: float = 0.15,
                             beta: float = 9.0) -> np.ndarray:
     """Kaiser-windowed sinc prototype lowpass h(n), length taps+1."""
     assert taps % 2 == 0
@@ -27,13 +27,16 @@ def design_prototype_filter(taps: int = 62, cutoff_ratio: float = 0.142,
 
 class PQMF:
     def __init__(self, subbands: int = 4, taps: int = 62,
-                 cutoff_ratio: float = 0.142, beta: float = 9.0):
+                 cutoff_ratio: float = 0.15, beta: float = 9.0):
         self.subbands = subbands
         h_proto = design_prototype_filter(taps, cutoff_ratio, beta)
         h_analysis = np.zeros((subbands, len(h_proto)))
         h_synthesis = np.zeros((subbands, len(h_proto)))
         for k in range(subbands):
-            phase = (2 * k + 1) * (np.pi / (2 * subbands)) * (np.arange(taps + 1) - taps / 2)
+            # reference pqmf.py:80-84 centers the modulation at (taps-1)/2,
+            # NOT taps/2 — a half-sample phase offset otherwise
+            phase = (2 * k + 1) * (np.pi / (2 * subbands)) * (
+                np.arange(taps + 1) - (taps - 1) / 2)
             shift = (-1) ** k * np.pi / 4
             h_analysis[k] = 2 * h_proto * np.cos(phase + shift)
             h_synthesis[k] = 2 * h_proto * np.cos(phase - shift)

@@ -108,10 +108,15 @@ def upsample_aux(params, cfg: PWGConfig, mel: jnp.ndarray) -> jnp.ndarray:
     return c
 
 
-def apply(params, cfg: PWGConfig, z, mel):
-    """z [B, L] noise at sample rate, mel [B, T, M] (scaler-normalized).
+def apply(params, cfg: PWGConfig, z, mel, pitch=None):
+    """z [B, L] noise at sample rate, mel [B, T, M] (scaler-normalized),
+    pitch [B, T] int coarse-f0 bins when cfg.use_pitch_embed.
     Returns wav [B, L]. L must equal (T - 2*aux_context_window)*prod(scales).
     """
+    if cfg.use_pitch_embed and pitch is not None:
+        # reference parallel_wavegan.py:151-153: c = c_proj([c ; embed(p)])
+        pe = nn.embedding(params["pitch_embed"], pitch)
+        mel = nn.linear(params["c_proj"], jnp.concatenate([mel, pe], axis=-1))
     aux = upsample_aux(params, cfg, mel)
     aux = aux[:, : z.shape[1]]
 
@@ -165,6 +170,9 @@ def convert(sd: dict, cfg: PWGConfig) -> dict:
             "out": cvt.conv1d(sd, f"{pfx}.conv1x1_out"),
             "skip": cvt.conv1d(sd, f"{pfx}.conv1x1_skip"),
         })
+    if cfg.use_pitch_embed:
+        p["pitch_embed"] = jnp.asarray(sd["pitch_embed.weight"])
+        p["c_proj"] = cvt.linear(sd, "c_proj")
     return p
 
 
@@ -198,16 +206,30 @@ class PWGGenerator:
             self.scaler_mean = self.scaler_scale = None
         else:  # official format
             sd = {k: cvt._to_np(v) for k, v in ckpt["model"]["generator"].items()}
-            stats = f"{base_dir}/stats.npy"
             import os as _os
 
-            if _os.path.exists(stats):
-                arr = np.load(stats)
+            stats_h5 = f"{base_dir}/stats.h5"
+            stats_npy = f"{base_dir}/stats.npy"
+            if _os.path.exists(stats_h5):
+                # official PWG dirs ship StandardScaler stats as hdf5
+                # (reference network/vocoders/pwg.py:32-39)
+                import h5py
+
+                with h5py.File(stats_h5, "r") as f:
+                    self.scaler_mean = np.asarray(f["mean"])
+                    self.scaler_scale = np.asarray(f["scale"])
+            elif _os.path.exists(stats_npy):
+                arr = np.load(stats_npy)
                 self.scaler_mean, self.scaler_scale = arr[0], arr[1]
             else:
+                print(f"| WARNING: no stats.h5/stats.npy under {base_dir} — "
+                      "official PWG generators expect StandardScaler-"
+                      "normalized mel; output will be wrong without it")
                 self.scaler_mean = self.scaler_scale = None
         self.params = convert(sd, self.cfg)
-        self._apply = jax.jit(lambda p, z, m: apply(p, self.cfg, z, m))
+        self._apply = jax.jit(
+            lambda p, z, m, pit=None: apply(p, self.cfg, z, m, pitch=pit),
+            static_argnames=())
         print(f"| Loaded PWG from {ckpt_path}")
 
     def spec2wav(self, mel, **kwargs):
@@ -218,5 +240,20 @@ class PWGGenerator:
         c = np.pad(c, ((pad, pad), (0, 0)), "edge")
         z = np.random.RandomState(kwargs.get("seed", 0)).randn(
             1, mel.shape[0] * self.hop).astype(np.float32)
-        y = self._apply(self.params, jnp.asarray(z), jnp.asarray(c[None]))
+        pit = None
+        if self.cfg.use_pitch_embed:
+            # reference wrapper: pitch = f0_to_coarse(f0), edge-padded like
+            # the mel (network/vocoders/pwg.py:96-100)
+            from ..ops.pitch import f0_to_coarse
+
+            f0 = kwargs.get("f0")
+            assert f0 is not None, "PWG with use_pitch_embed needs f0"
+            pit = np.asarray(f0_to_coarse(
+                np.asarray(f0, np.float32), self.hp.get("f0_bin", 256),
+                self.hp.get("f0_min", 80.0), self.hp.get("f0_max", 750.0)))
+            pit = np.pad(pit, (pad, pad), "edge")[None].astype(np.int32)
+            y = self._apply(self.params, jnp.asarray(z), jnp.asarray(c[None]),
+                            jnp.asarray(pit))
+        else:
+            y = self._apply(self.params, jnp.asarray(z), jnp.asarray(c[None]))
         return np.asarray(y[0])

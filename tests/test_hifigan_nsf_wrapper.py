@@ -69,3 +69,22 @@ def test_hifigan_nsf_wrapper(tmp_path):
     # voiced f0 actually changes the output (source injection active)
     wav2 = voc.spec2wav(mel, f0=np.full(40, 440.0, np.float32))
     assert not np.allclose(wav, wav2)
+
+
+def test_spec2wav_bucketing_trims_exact_length(tmp_path):
+    """voc_bucket_frames pads the mel to a bucket multiple (one compile per
+    bucket) and the wav is trimmed back to exactly T*hop."""
+    import numpy as np
+
+    from diffsvc_tpu.vocoders.hifigan import bucket_mel_f0
+
+    hp = {"voc_bucket_frames": 32, "hop_size": 64}
+    mel = np.random.RandomState(0).randn(45, 16).astype(np.float32)
+    f0 = np.full(45, 220.0, np.float32)
+    m2, f2, t = bucket_mel_f0(hp, mel, f0)
+    assert m2.shape == (64, 16) and f2.shape == (64,) and t == 45
+    assert (m2[45:] == mel.min()).all() and (f2[45:] == 0).all()
+    # exact mode: untouched
+    hp["voc_bucket_frames"] = 0
+    m3, f3, t3 = bucket_mel_f0(hp, mel, f0)
+    assert m3.shape == (45, 16) and t3 == 45

@@ -38,7 +38,7 @@ def test_pulse_gen():
 
     sr = 8000
     f0 = jnp.full((1, sr), 100.0)
-    pulses, uv = pulse_gen(jax.random.PRNGKey(0), f0, sr, noise_std=0.0)
+    pulses, uv, _ = pulse_gen(jax.random.PRNGKey(0), f0, sr, noise_std=0.0)
     p = np.asarray(pulses[0])
     # ~100 pulses per second
     assert abs((p > 0.05).sum() - 100) <= 3
@@ -54,8 +54,17 @@ def test_cyclic_noise_gen():
     sig, uv = cyclic_noise_gen(jax.random.PRNGKey(0), f0, sr)
     s = np.asarray(sig[0])
     assert np.isfinite(s).all()
-    # voiced part much louder than unvoiced noise floor
-    assert np.abs(s[: sr // 2]).std() > np.abs(s[sr // 2:]).std()
+    # reference semantics: ONE fixed decayed-noise kernel repeats at every
+    # pulse, so the voiced part is strongly periodic at the f0 period...
+    v = s[: sr // 2]
+    period = sr // 100
+    ac = np.corrcoef(v[:-period], v[period:])[0, 1]
+    assert ac > 0.5, ac
+    # ...while the unvoiced part is plain iid noise at the noise_std scale
+    u = s[sr // 2:]
+    assert abs(u.std() - 0.003) < 0.001, u.std()
+    ac_u = np.corrcoef(u[:-period], u[period:])[0, 1]
+    assert abs(ac_u) < 0.2, ac_u
 
 
 def test_trim_long_silences():
