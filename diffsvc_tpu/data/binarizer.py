@@ -191,7 +191,9 @@ class SVCBinarizer(BaseBinarizer):
                 rel = fn.relative_to(raw_data_dir)
                 if len(rel.parts) > 1:
                     return rel.parts[0]
-            return self.hp.get("speaker_id", 0)
+            # str() so build_spk_map's sorted() never mixes int and str ids
+            # (a stray top-level wav next to speaker subdirs would crash)
+            return str(self.hp.get("speaker_id", 0))
 
         self.items = {
             str(fn): {"wav_fn": str(fn), "spk_id": spk_of(fn)} for fn in files}

@@ -123,13 +123,16 @@ def prefetch(iterator: Iterator, prepare_fn=None, depth: int = 2) -> Iterator:
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    _ERR = object()
 
     def producer():
         try:
             for item in iterator:
                 q.put(prepare_fn(item) if prepare_fn else item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # re-raised in the consumer — a data
+            # error must NOT be reported as a clean end-of-epoch
+            q.put((_ERR, e))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -137,6 +140,8 @@ def prefetch(iterator: Iterator, prepare_fn=None, depth: int = 2) -> Iterator:
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
         yield item
 
 

@@ -8,6 +8,8 @@ uniform ``get_align`` stretch, and the pad-to-longest collate.
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -39,7 +41,8 @@ def get_align_uniform(mel_len: int, n_units: int) -> np.ndarray:
 
 
 def get_pitch(wav: np.ndarray, mel: np.ndarray, hp: HParams,
-              use_crepe: bool = False, threshold: float = 0.05):
+              use_crepe: bool = False, threshold: float = 0.05,
+              return_tag: bool = False):
     """f0 + coarse bins on the mel grid. CREPE when requested and weights are
     available, otherwise the in-repo Praat-style AC tracker (the reference's
     parselmouth path).
@@ -47,34 +50,52 @@ def get_pitch(wav: np.ndarray, mel: np.ndarray, hp: HParams,
     When ``f0_cache_dir`` is set, tracks are cached on disk keyed by the
     waveform md5 (the binarizer's equivalent of the inference-side
     ``f0_temp.json`` cache)."""
-    cache_fn = None
-    cache_dir = hp.get("f0_cache_dir", "")
-    if cache_dir:
+    def cache_path(tag):
         import hashlib
         import os
 
         os.makedirs(cache_dir, exist_ok=True)
-        tag = "crepe" if use_crepe else "ac"
         md5 = hashlib.new("md5", np.ascontiguousarray(wav)).hexdigest()
-        cache_fn = os.path.join(cache_dir, f"{md5}_{tag}_{len(mel)}.npy")
-        if os.path.exists(cache_fn):
-            f0 = np.load(cache_fn)
+        return os.path.join(cache_dir, f"{md5}_{tag}_{len(mel)}.npy")
+
+    def load_cached(tag):
+        import os
+
+        fn = cache_path(tag)
+        if os.path.exists(fn):
+            f0 = np.load(fn)
             from ..ops.pitch import f0_to_coarse
 
-            return f0, f0_to_coarse(f0, hp["f0_bin"], hp["f0_min"], hp["f0_max"])
+            return f0, f0_to_coarse(f0, hp["f0_bin"], hp["f0_min"],
+                                    hp["f0_max"])
+        return None
 
+    cache_dir = hp.get("f0_cache_dir", "")
+    if cache_dir:
+        hit = load_cached("crepe" if use_crepe else "ac")
+        if hit is not None:
+            return hit
+
+    # `tag` records the tracker ACTUALLY used — a crepe-unavailable
+    # fallback must not be cached under the crepe key, or later runs with
+    # crepe installed would keep serving AC tracks labeled as crepe
     if use_crepe:
         try:
             from ..ops.crepe import get_pitch_crepe
 
             f0, coarse = get_pitch_crepe(wav, mel, hp, threshold)
+            tag = "crepe"
         except (ImportError, FileNotFoundError) as e:
             print(f"| crepe unavailable ({e}); falling back to AC tracker")
             f0, coarse = get_pitch_ac(wav, len(mel), hp)
+            tag = "ac"
     else:
         f0, coarse = get_pitch_ac(wav, len(mel), hp)
-    if cache_fn:
-        np.save(cache_fn, f0)
+        tag = "ac"
+    if cache_dir:
+        np.save(cache_path(tag), f0)
+    if return_tag:
+        return f0, coarse, tag
     return f0, coarse
 
 
@@ -260,9 +281,19 @@ def process_items_batched(metas, hp: HParams, hubert_encode_batch,
                         processed["pitch"] = f0_to_coarse(
                             f0, hp["f0_bin"], f0_min, float(hp["f0_max"]))
                     if ba.get("with_hubert", True):
-                        true_units = max(int(len(wav) * 16000 / sr) // 320, 1)
-                        processed["hubert"] = np.asarray(
-                            units_all[j][:true_units])
+                        # precomputed sibling .npy units win, like the
+                        # per-item Hubertencoder.encode path
+                        # (hubertinfer.py:33-35)
+                        npy_fn = None
+                        if isinstance(wav_fn, (str, os.PathLike)):
+                            npy_fn = Path(wav_fn).with_suffix(".npy")
+                        if npy_fn is not None and os.path.exists(npy_fn):
+                            processed["hubert"] = np.load(str(npy_fn))
+                        else:
+                            true_units = max(
+                                int(len(wav) * 16000 / sr) // 320, 1)
+                            processed["hubert"] = np.asarray(
+                                units_all[j][:true_units])
                         if ba.get("with_align", True):
                             processed["mel2ph"] = get_align_uniform(
                                 mel.shape[0], processed["hubert"].shape[0])
@@ -281,7 +312,9 @@ def getitem(item: Dict, hp: HParams) -> Dict:
     mel2ph = np.asarray(item["mel2ph"], np.int64)[:max_frames] if "mel2ph" in item else None
     f0, uv = norm_interp_f0_np(np.asarray(item["f0"][:max_frames]),
                                pitch_norm=hp.get("pitch_norm", "log"),
-                               use_uv=hp.get("use_uv", False))
+                               use_uv=hp.get("use_uv", False),
+                               f0_mean=float(hp.get("f0_mean", 0.0) or 0.0),
+                               f0_std=float(hp.get("f0_std", 1.0) or 1.0))
     hubert = np.asarray(item["hubert"], np.float32)[: hp.get("max_input_tokens", 60000)]
     pitch = np.asarray(item["pitch"], np.int64)[:max_frames]
     return {

@@ -42,7 +42,8 @@ def align_uniform_device(mel_len: int, n_units: int):
     return jnp.clip(j + 1, 1, n_units)
 
 
-def norm_interp_f0_device(f0, pitch_norm: str = "log"):
+def norm_interp_f0_device(f0, pitch_norm: str = "log",
+                          f0_mean: float = 0.0, f0_std: float = 1.0):
     """Device norm_interp_f0: log2 + linear interpolation over unvoiced.
 
     Returns (f0_interp, uv) float32; all-unvoiced input -> zeros.
@@ -51,7 +52,8 @@ def norm_interp_f0_device(f0, pitch_norm: str = "log"):
     uv = f0 == 0
     voiced = ~uv
     lf0 = jnp.where(voiced, norm_f0(jnp.where(voiced, f0, 1.0),
-                                    pitch_norm=pitch_norm), 0.0)
+                                    pitch_norm=pitch_norm,
+                                    f0_mean=f0_mean, f0_std=f0_std), 0.0)
     idx = jnp.arange(n)
     # previous voiced index (or -1), next voiced index (or n)
     prev_idx = jax.lax.associative_scan(jnp.maximum,
@@ -126,7 +128,7 @@ class FusedSvc:
         # params enter as ARGUMENTS (not closure constants) so the compiled
         # HLO stays small and weights live on-device between calls
         def fused(diff_params, hub_params, voc_params, wav44, wav16, rng,
-                  key_shift):
+                  key_shift, spk):
             # --- mel ---
             if is_nsf:
                 mel = mel_ops.wav2mel_nsf(
@@ -169,8 +171,10 @@ class FusedSvc:
             mel2ph = jnp.zeros((pad_t,), jnp.int32)
             mel2ph = mel2ph.at[:t_mel].set(
                 align_uniform_device(t_mel, units.shape[0]))
-            f0n, uv = norm_interp_f0_device(f0_grid,
-                                            hp.get("pitch_norm", "log"))
+            f0n, uv = norm_interp_f0_device(
+                f0_grid, hp.get("pitch_norm", "log"),
+                f0_mean=float(hp.get("f0_mean", 0.0) or 0.0),
+                f0_std=float(hp.get("f0_std", 1.0) or 1.0))
             # key transpose in the log2 domain with ceiling zeroing
             # (reference infer_tool.py:149-150)
             f0n = f0n + key_shift / 12.0
@@ -179,9 +183,15 @@ class FusedSvc:
             uvb = jnp.zeros((pad_t,), jnp.float32).at[:t_mel].set(uv)
             melb = jnp.zeros((pad_t, nmel), jnp.float32).at[:t_mel].set(mel)
             energy = jnp.sqrt((jnp.exp(melb) ** 2).sum(-1))
+            # padding frames are log-mel 0 -> energy sqrt(n_mels) (coarse
+            # bin 255); the modular path pads energy with 0 (bin 0) — mask
+            # so the denoiser's receptive field doesn't see max-energy pads
+            energy = energy * (jnp.arange(pad_t) < t_mel)
             batch = {"hubert": units[None], "mel2ph": mel2ph[None],
                      "f0": f0b[None], "uv": uvb[None], "energy": energy[None],
                      "mels": melb[None]}
+            if hp.get("use_spk_id"):
+                batch["spk_embed"] = spk[None]
 
             # --- diffusion ---
             out = model.infer(diff_params, batch, rng, speedup=speedup)
@@ -204,12 +214,14 @@ class FusedSvc:
 
         return jax.jit(fused)
 
-    def __call__(self, wav44: np.ndarray, rng=None, key_shift: int = 0):
+    def __call__(self, wav44: np.ndarray, rng=None, key_shift: int = 0,
+                 spk_id: int = 0):
         from ..utils.audio_io import resample
 
         hp = self.hp
         bucket = int(hp.get("fused_bucket_samples", 0))
-        n44 = len(wav44)
+        true_n44 = len(wav44)
+        n44 = true_n44
         if bucket:
             n44 = -(-n44 // bucket) * bucket
             wav44 = np.pad(wav44, (0, n44 - len(wav44)))
@@ -219,8 +231,15 @@ class FusedSvc:
         if key not in self._fns:
             self._fns[key] = self._build(*key)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        return self._fns[key](self.params, self.hub_params,
-                              self.vocoder.params,
-                              jnp.asarray(wav44, jnp.float32),
-                              jnp.asarray(wav16), rng,
-                              jnp.float32(key_shift))
+        wav_o, f0_o, mel_o = self._fns[key](
+            self.params, self.hub_params, self.vocoder.params,
+            jnp.asarray(wav44, jnp.float32), jnp.asarray(wav16), rng,
+            jnp.float32(key_shift), jnp.int32(spk_id))
+        if n44 != true_n44:
+            # trim the vocoded bucket padding back to the true input length
+            hop = int(hp["hop_size"])
+            t_true = -(-true_n44 // hop)
+            wav_o = wav_o[: min(true_n44, wav_o.shape[0])]
+            f0_o = f0_o[:t_true]
+            mel_o = mel_o[:t_true]
+        return wav_o, f0_o, mel_o

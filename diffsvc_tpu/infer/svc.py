@@ -103,6 +103,18 @@ class Svc:
         self.vocoder = get_vocoder_cls(self.hp)(self.hp)
         self.f0_dict = read_temp(F0_CACHE_PATH)
 
+        # multi-speaker: map speaker names (project_name / speaker_id) to
+        # the integer ids the model was trained with (binarizer spk_map)
+        self.spk_map = {}
+        if self.hp.get("use_spk_id"):
+            import json as _json
+
+            smp = os.path.join(str(self.hp.get("binary_data_dir", "")),
+                               "spk_map.json")
+            if os.path.exists(smp):
+                with open(smp, encoding="utf-8") as f:
+                    self.spk_map = _json.load(f)
+
         self._infer_fn = {}
         self._fused = None
 
@@ -121,7 +133,8 @@ class Svc:
                                    speedup=int(acc),
                                    compute_dtype=compute_dtype)
         return self._fused(np.asarray(wav, np.float32),
-                           jax.random.PRNGKey(seed), key_shift=int(key))
+                           jax.random.PRNGKey(seed), key_shift=int(key),
+                           spk_id=self.resolve_spk_id(None))
 
     def _jit_infer(self, speedup: int, use_gt_mel: bool = False,
                    add_noise_step: int = 500):
@@ -136,7 +149,8 @@ class Svc:
     # ------------------------------------------------------------------
     def infer(self, in_path, key: int, acc: int, use_pe=True, use_crepe=True,
               thre=0.05, singer=False, seed=0, **kwargs):
-        batch = self.pre(in_path, acc, use_crepe, thre)
+        batch = self.pre(in_path, acc, use_crepe, thre,
+                         spk_id=kwargs.get("spk_id"))
         # key shift in log2 domain with ceiling zeroing (infer_tool.py:149-150)
         batch["f0"] = batch["f0"] + (key / 12)
         batch["f0"][batch["f0"] > np.log2(self.hp["f0_max"])] = 0
@@ -159,7 +173,9 @@ class Svc:
         batch["mel2ph_pred"] = np.asarray(outputs["mel2ph"])
         batch["f0_gt"] = np.asarray(denorm_f0(
             batch["f0"], batch["uv"], pitch_norm=self.hp.get("pitch_norm", "log"),
-            use_uv=self.hp.get("use_uv", False)))
+            use_uv=self.hp.get("use_uv", False),
+            f0_mean=float(self.hp.get("f0_mean", 0.0) or 0.0),
+            f0_std=float(self.hp.get("f0_std", 1.0) or 1.0)))
         if use_pe and self.pe_params is not None:
             pe_out = pe_model.apply(self.pe_params, self.pe_cfg,
                                     jnp.asarray(mel_out))
@@ -200,6 +216,9 @@ class Svc:
             stack = {k: np.concatenate([samples[i][k] for i in idxs], axis=0)
                      for k in ("hubert", "mels", "mel2ph", "energy", "f0", "uv")}
             jbatch = {k: jnp.asarray(v) for k, v in stack.items()}
+            if self.hp.get("use_spk_id") and "spk_ids" in samples[idxs[0]]:
+                jbatch["spk_embed"] = jnp.asarray(np.concatenate(
+                    [samples[i]["spk_ids"] for i in idxs]))
             outputs = self._jit_infer(int(acc))(
                 self.params, jbatch, jax.random.PRNGKey(seed))
             mel_out = np.asarray(outputs["mel_out"])
@@ -212,7 +231,9 @@ class Svc:
             f0_gt_all = np.asarray(denorm_f0(
                 stack["f0"], stack["uv"],
                 pitch_norm=self.hp.get("pitch_norm", "log"),
-                use_uv=self.hp.get("use_uv", False)))
+                use_uv=self.hp.get("use_uv", False),
+                f0_mean=float(self.hp.get("f0_mean", 0.0) or 0.0),
+                f0_std=float(self.hp.get("f0_std", 1.0) or 1.0)))
             # batched vocoding when the wrapper exposes raw generator state
             wavs = None
             if hasattr(self.vocoder, "params") and hasattr(self.vocoder, "cfg"):
@@ -222,6 +243,14 @@ class Svc:
                 is_nsf = "nsf" in str(self.hp.get("vocoder", "")).lower()
                 mel_clip = np.clip(mel_out, self.hp["mel_vmin"],
                                    self.hp["mel_vmax"])
+                # collate-padding frames are exact-0 mel (mel2ph mask); as
+                # log-mel, 0 means ~unit amplitude — loud broadband energy
+                # that bleeds back into the kept tail through the
+                # generator's receptive field. Floor them to the silence
+                # level before vocoding.
+                pad_mask = np.abs(mel_out).sum(-1) <= 0
+                mel_clip = np.where(pad_mask[:, :, None],
+                                    np.float32(self.hp["mel_vmin"]), mel_clip)
                 voc_in = jnp.asarray(mel_clip * (LN_10 if is_nsf else 1.0))
                 f0_voc = jnp.asarray(f0_pred_all) \
                     if self.hp.get("use_nsf") else None
@@ -289,11 +318,17 @@ class Svc:
                     gt = np.array(self.f0_dict[f"{md5}_gt"]["f0"])
                     coarse = np.array(self.f0_dict[f"{md5}_coarse"]["f0"])
                     return gt, coarse
-                gt, coarse = features.get_pitch(wav, mel, hp, True, thre)
-                now = int(time.time())
-                self.f0_dict[f"{md5}_gt"] = {"f0": gt.tolist(), "time": now}
-                self.f0_dict[f"{md5}_coarse"] = {"f0": np.asarray(coarse).tolist(), "time": now}
-                write_temp(F0_CACHE_PATH, self.f0_dict)
+                gt, coarse, tag = features.get_pitch(wav, mel, hp, True, thre,
+                                                     return_tag=True)
+                if tag == "crepe":
+                    # only genuine crepe tracks go into the crepe cache — a
+                    # weights-unavailable AC fallback must not masquerade as
+                    # crepe on later (crepe-capable) runs
+                    now = int(time.time())
+                    self.f0_dict[f"{md5}_gt"] = {"f0": gt.tolist(), "time": now}
+                    self.f0_dict[f"{md5}_coarse"] = {
+                        "f0": np.asarray(coarse).tolist(), "time": now}
+                    write_temp(F0_CACHE_PATH, self.f0_dict)
                 return gt, coarse
             return features.get_pitch(wav, mel, hp, False, thre)
 
@@ -315,12 +350,27 @@ class Svc:
                     mel.shape[0], processed["hubert"].shape[0])
         return processed
 
-    def pre(self, wav_fn, accelerate, use_crepe=True, thre=0.05):
+    def resolve_spk_id(self, spk_id=None) -> int:
+        """Explicit int wins; else project_name / speaker_id through the
+        binarizer's spk_map; else 0."""
+        if spk_id is not None and not isinstance(spk_id, str):
+            return int(spk_id)
+        for name in (spk_id, self.project_name,
+                     self.hp.get("speaker_id")):
+            if name is None:
+                continue
+            if isinstance(name, str) and name in self.spk_map:
+                return int(self.spk_map[name])
+            if not isinstance(name, str):
+                return int(name)
+        return 0
+
+    def pre(self, wav_fn, accelerate, use_crepe=True, thre=0.05, spk_id=None):
         if isinstance(wav_fn, io.BytesIO):
             item_name = self.project_name
         else:
             item_name = os.path.splitext(os.path.basename(str(wav_fn)))[0]
-        temp_dict = {"wav_fn": wav_fn, "spk_id": self.project_name}
+        temp_dict = {"wav_fn": wav_fn, "spk_id": self.resolve_spk_id(spk_id)}
         processed = self.temporary_dict2processed_input(
             item_name, temp_dict, use_crepe, thre)
         self.hp["pndm_speedup"] = accelerate

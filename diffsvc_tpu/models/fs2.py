@@ -37,6 +37,8 @@ class FS2Config(NamedTuple):
     num_spk: int = 1
     use_uv: bool = False
     pitch_norm: str = "log"
+    f0_mean: float = 0.0   # pitch_norm: standard stats (binarizer
+    f0_std: float = 1.0    # train_f0s_mean_std.npy; identity under log)
     f0_bin: int = 256
     f0_min: float = 50.0
     f0_max: float = 1100.0
@@ -61,6 +63,8 @@ class FS2Config(NamedTuple):
             num_spk=int(hp.get("num_spk", 1)),
             use_uv=bool(hp.get("use_uv", False)),
             pitch_norm=hp.get("pitch_norm", "log"),
+            f0_mean=float(hp.get("f0_mean", 0.0) or 0.0),
+            f0_std=float(hp.get("f0_std", 1.0) or 1.0),
             f0_bin=int(hp.get("f0_bin", 256)),
             f0_min=float(hp.get("f0_min", 50.0)),
             f0_max=float(hp.get("f0_max", 1100.0)),
@@ -140,7 +144,8 @@ def apply(params, cfg: FS2Config, hubert, mel2ph, f0, uv=None, energy=None,
     if cfg.use_pitch_embed:
         pitch_padding = mel2ph == 0
         f0_denorm = denorm_f0(f0, uv, pitch_norm=cfg.pitch_norm,
-                              use_uv=cfg.use_uv, pitch_padding=pitch_padding)
+                              use_uv=cfg.use_uv, pitch_padding=pitch_padding,
+                              f0_mean=cfg.f0_mean, f0_std=cfg.f0_std)
         ret["f0_denorm"] = f0_denorm
         # N.B. padded frames carry f0=0 -> coarse bin 1 (not the 0 padding
         # row) exactly like the reference; the tgt_nonpadding multiply below

@@ -28,6 +28,8 @@ class PEConfig(NamedTuple):
     pitch_type: str = "frame"
     use_uv: bool = False
     pitch_norm: str = "log"
+    f0_mean: float = 0.0
+    f0_std: float = 1.0
 
     @classmethod
     def from_hparams(cls, hp):
@@ -41,6 +43,8 @@ class PEConfig(NamedTuple):
             pitch_type=hp.get("pitch_type", "frame"),
             use_uv=bool(hp.get("use_uv", False)),
             pitch_norm=hp.get("pitch_norm", "log"),
+            f0_mean=float(hp.get("f0_mean", 0.0) or 0.0),
+            f0_std=float(hp.get("f0_std", 1.0) or 1.0),
         )
 
 
@@ -123,7 +127,8 @@ def apply(params, cfg: PEConfig, mel):
 
     uv = (pitch_pred[:, :, 1] > 0) if cfg.pitch_type == "frame" else None
     f0_denorm = denorm_f0(pitch_pred[:, :, 0], uv, pitch_norm=cfg.pitch_norm,
-                          use_uv=cfg.use_uv, pitch_padding=padding_mask)
+                          use_uv=cfg.use_uv, pitch_padding=padding_mask,
+                          f0_mean=cfg.f0_mean, f0_std=cfg.f0_std)
     return {"pitch_pred": pitch_pred, "f0_denorm_pred": f0_denorm}
 
 

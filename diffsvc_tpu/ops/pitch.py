@@ -46,7 +46,8 @@ def norm_f0(f0, uv=None, pitch_norm: str = "log", use_uv: bool = False,
     return f0
 
 
-def norm_interp_f0_np(f0: np.ndarray, pitch_norm: str = "log", use_uv: bool = False):
+def norm_interp_f0_np(f0: np.ndarray, pitch_norm: str = "log", use_uv: bool = False,
+                      f0_mean: float = 0.0, f0_std: float = 1.0):
     """log2-normalize then linearly interpolate over unvoiced frames.
 
     Host-side (numpy) — used by the dataset/__getitem__ path like reference
@@ -55,7 +56,8 @@ def norm_interp_f0_np(f0: np.ndarray, pitch_norm: str = "log", use_uv: bool = Fa
     f0 = np.asarray(f0, dtype=np.float64)
     uv = f0 == 0
     with np.errstate(divide="ignore"):
-        f0 = norm_f0(f0, uv, pitch_norm=pitch_norm, use_uv=use_uv)
+        f0 = norm_f0(f0, uv, pitch_norm=pitch_norm, use_uv=use_uv,
+                     f0_mean=f0_mean, f0_std=f0_std)
     if uv.sum() == len(f0):
         f0[uv] = 0.0
     elif uv.sum() > 0:

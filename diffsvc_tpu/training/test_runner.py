@@ -82,7 +82,9 @@ def run_test(hp: HParams, task, state, vocoder=None, global_step: int = 0):
                 f0_gt = np.asarray(denorm_f0(
                     batch["f0"][0], batch["uv"][0],
                     pitch_norm=hp.get("pitch_norm", "log"),
-                    use_uv=hp.get("use_uv", False)))[: len(gt_mask)][gt_mask]
+                    use_uv=hp.get("use_uv", False),
+                    f0_mean=float(hp.get("f0_mean", 0.0) or 0.0),
+                    f0_std=float(hp.get("f0_std", 1.0) or 1.0)))[: len(gt_mask)][gt_mask]
                 wav_gt = vocoder.spec2wav(mel_gt, f0=f0_gt)
                 futures.append(pool.submit(
                     save_result, wav_gt, mel_gt, "G", item_name, gen_dir,

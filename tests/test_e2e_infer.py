@@ -274,3 +274,23 @@ def test_e2e_use_pe_branch(svc, tmp_path):
         assert not np.allclose(f0_pred, f0_gt[: len(f0_pred)])
     finally:
         svc.pe_params = None
+
+
+def test_resolve_spk_id_mapping():
+    """Multi-speaker: names resolve through the binarizer spk_map; explicit
+    ints win; unknown -> 0."""
+    from diffsvc_tpu.infer.svc import Svc
+
+    svc = object.__new__(Svc)
+    svc.project_name = "alice"
+    svc.spk_map = {"alice": 3, "bob": 1}
+    svc.hp = {"use_spk_id": True}
+    assert svc.resolve_spk_id(None) == 3
+    assert svc.resolve_spk_id(1) == 1
+    assert svc.resolve_spk_id("bob") == 1
+    svc.project_name = "unknown"
+    svc.hp = {"speaker_id": "bob"}
+    assert svc.resolve_spk_id(None) == 1
+    svc.spk_map = {}
+    svc.hp = {}
+    assert svc.resolve_spk_id(None) == 0
