@@ -147,6 +147,12 @@ def set_hparams(
     hp = HParams()
     if config:
         hp.update(load_config_chain(config))
+        # the binarizer writes spec_min/max back into hp['config_path']
+        # (base_binarizer.py:174-183); the reference relies on the YAML
+        # declaring it — default to the --config file so the write-back
+        # works out of the box
+        if not hp.get("config_path"):
+            hp["config_path"] = config
 
     if exp_name:
         hp["exp_name"] = exp_name

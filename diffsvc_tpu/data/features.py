@@ -30,6 +30,10 @@ def get_align_uniform(mel_len: int, n_units: int) -> np.ndarray:
     Matches reference ``process_pipeline.py:95-107`` exactly (incl. the
     end_frame+1 overlap-by-one behavior).
     """
+    from ..native import runtime as native
+
+    if native.available():
+        return native.align_uniform(int(mel_len), int(n_units)).astype(int)
     mel2ph = np.zeros([mel_len], int)
     ph_durs = mel_len / n_units
     start_frame = 0

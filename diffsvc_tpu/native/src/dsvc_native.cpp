@@ -79,7 +79,9 @@ void f0_to_coarse(const float* f0, int64_t n, int32_t f0_bin, float f0_min,
         if (mel > 0.0) mel = (mel - mel_min) * scale + 1.0;
         if (mel <= 1.0) mel = 1.0;
         if (mel > f0_bin - 1) mel = f0_bin - 1;
-        out[i] = int32_t(std::lround(mel));
+        // np.rint parity: round half to EVEN (lround rounds
+        // half away from zero and diverges at x.5 bins)
+        out[i] = int32_t(std::rint(mel));
     }
 }
 

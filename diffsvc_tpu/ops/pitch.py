@@ -20,6 +20,13 @@ def f0_to_coarse(f0, f0_bin: int = 256, f0_min: float = 50.0, f0_max: float = 11
     Matches reference ``utils/pitch_utils.py:17-31`` (np.rint rounding).
     """
     xp = jnp if isinstance(f0, jnp.ndarray) else np
+    if xp is np:
+        from ..native import runtime as native
+
+        if native.available():
+            return native.f0_to_coarse(
+                np.asarray(f0, np.float32).ravel(), int(f0_bin),
+                float(f0_min), float(f0_max)).reshape(np.shape(f0)).astype(int)
     f0_mel_min = 1127.0 * np.log(1 + f0_min / 700.0)
     f0_mel_max = 1127.0 * np.log(1 + f0_max / 700.0)
     f0_mel = 1127.0 * xp.log(1 + f0 / 700.0)

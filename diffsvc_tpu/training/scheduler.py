@@ -26,16 +26,17 @@ def rsqrt_schedule(lr: float, warmup_updates: int, hidden_size: int):
     return schedule
 
 
-def step_lr_schedule(lr: float, decay_steps: int, gamma: float = 0.5,
-                     accumulate_grad_batches: int = 1):
-    """StepLR halving; the scheduler ticks on optimizer steps, which the
-    reference advances at global_step // accumulate_grad_batches."""
+def step_lr_schedule(lr: float, decay_steps: int, gamma: float = 0.5):
+    """StepLR halving every ``decay_steps`` OPTIMIZER steps.
+
+    The schedule is evaluated by optax.adamw, whose count (inside
+    optax.MultiSteps) already advances once per accumulate_grad_batches
+    micro-steps — i.e. it IS the reference's global_step // accumulate
+    (SVC_task.py:125). Dividing here again would decay accumulate^2 times
+    too late."""
 
     def schedule(step):
-        import jax.numpy as jnp
-
-        opt_step = step // max(accumulate_grad_batches, 1)
-        return lr * gamma ** (opt_step // decay_steps)
+        return lr * gamma ** (step // decay_steps)
 
     return schedule
 
@@ -45,5 +46,4 @@ def build_lr_schedule(hp):
     if sched == "rsqrt":
         return rsqrt_schedule(hp["lr"], hp.get("warmup_updates", 2000),
                               hp["hidden_size"])
-    return step_lr_schedule(hp["lr"], hp.get("decay_steps", 40000), 0.5,
-                            hp.get("accumulate_grad_batches", 1))
+    return step_lr_schedule(hp["lr"], hp.get("decay_steps", 40000), 0.5)

@@ -68,6 +68,13 @@ class SVCTask:
     def load_params_into_state(self, state: Dict, params) -> Dict:
         state = dict(state)
         state["params"] = jax.tree.map(jnp.asarray, params)
+        if "ema_params" in state:
+            # warm start: the EMA must track the LOADED weights, not the
+            # fresh random init it was built from (otherwise validation
+            # audio / best-checkpoint EMA weights start as noise for
+            # ~1/(1-decay) steps)
+            state["ema_params"] = jax.tree.map(
+                lambda a: jnp.array(a, copy=True), state["params"])
         return state
 
     # ------------------------------------------------------------------

@@ -31,14 +31,11 @@ def save_result(wav_out, mel, prefix, item_name, gen_dir, work_dir, sr,
     save_wav(wav_out, f"{gen_dir}/wavs/{base_fn}.wav", sr)
     np.save(os.path.join(work_dir, f"{prefix}_mels_npy", item_name), mel)
     try:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
+        # spec_to_figure returns a pyplot-free Figure: fig.savefig is
+        # thread-safe (this runs inside the artifact thread pool) and
+        # always saves THIS figure, not pyplot's "current" one
         fig = spec_to_figure(mel)
-        plt.savefig(f"{gen_dir}/plot/{base_fn}.png", format="png")
-        plt.close(fig)
+        fig.savefig(f"{gen_dir}/plot/{base_fn}.png", format="png")
     except Exception as e:
         print(f"| plot failed: {e}")
 

@@ -165,3 +165,59 @@ def crop_batch(items, hp: HParams, rng: np.random.RandomState,
         wavs.append(w)
         f0s.append(f)
     return {"mels": np.stack(mels), "wav": np.stack(wavs), "f0": np.stack(f0s)}
+
+
+def train_vocoder(hp: HParams):
+    """CLI driver for vocoder fine-tuning (run.py routes here when
+    ``task_cls`` names a vocoder task).
+
+    Requires the dataset binarized with ``binarization_args.with_wav: true``
+    (items must keep their waveforms). Checkpoints rotate in ``work_dir``
+    like the SVC trainer.
+    """
+    import os
+
+    from ..data.dataset import FastSpeechDataset
+    from . import checkpoint as ckpt_lib
+
+    from ..utils.compile_cache import enable as _cc
+
+    _cc()
+    task = VocoderTask(hp)
+    state = task.init_state()
+    restored = ckpt_lib.restore_checkpoint(hp["work_dir"])
+    step = 0
+    if restored is not None:
+        st, _, step, _ = restored
+        state = st
+        print(f"| resumed vocoder training at step {step}")
+
+    ds = FastSpeechDataset("train", hp, shuffle=False)
+    # raw binarized items (mel, wav, f0 in Hz) — crop_batch's input
+    items = [ds._get_item(i) for i in range(len(ds))]
+    for it in items:
+        assert "wav" in it, ("vocoder training needs waveforms: binarize "
+                             "with binarization_args.with_wav: true")
+
+    rng_np = np.random.RandomState(hp.get("seed", 1234) + step)
+    rng = jax.random.PRNGKey(hp.get("seed", 1234))
+    batch_size = int(hp.get("max_sentences", 8) or 8)
+    seg = int(hp.get("vocoder_segment_frames", 32))
+    max_updates = int(hp.get("max_updates", 100000))
+    log_interval = int(hp.get("log_interval", 100))
+    ckpt_interval = int(hp.get("val_check_interval", 2000))
+    while step < max_updates:
+        picks = [items[rng_np.randint(len(items))] for _ in range(batch_size)]
+        batch = crop_batch(picks, hp, rng_np, segment_frames=seg)
+        state, metrics = task.train_step(state, batch,
+                                         jax.random.fold_in(rng, step))
+        step += 1
+        if step % log_interval == 0:
+            m = {k: round(float(v), 4) for k, v in metrics.items()}
+            print(f"| voc step {step} {m}")
+        if step % ckpt_interval == 0 or step >= max_updates:
+            ckpt_lib.save_checkpoint(
+                hp["work_dir"], state, 0, step,
+                num_ckpt_keep=int(hp.get("num_ckpt_keep", 10)))
+    print("| VOCODER TRAINING FINISHED")
+    return state

@@ -43,7 +43,12 @@ def load_wav(path: Union[str, io.BytesIO], sr: Optional[int] = None,
                 "convert with ffmpeg first.")
     in_sr, data = wavfile.read(path)
     if data.dtype == np.int16:
-        data = data.astype(np.float32) / 32768.0
+        from ..native import runtime as native
+
+        if native.available():
+            data = native.pcm16_to_float(data.ravel()).reshape(data.shape)
+        else:
+            data = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
         data = data.astype(np.float32) / 2147483648.0
     elif data.dtype == np.uint8:

@@ -4,8 +4,6 @@ timers with named profiler spans, parameter counting, checkpoint globbing.
 
 from __future__ import annotations
 
-import glob
-import re
 import time
 from collections import defaultdict
 from typing import Dict, Optional
@@ -88,11 +86,11 @@ def num_params(params, print_out: bool = True, model_name: str = "model") -> flo
 
 
 def get_last_checkpoint(work_dir: str) -> Optional[str]:
-    ckpts = [p for p in glob.glob(f"{work_dir}/model_ckpt_steps_*.ckpt")
-             if not p.endswith(".part")]
-    if not ckpts:
-        return None
-    return max(ckpts, key=lambda x: int(re.findall(r"steps_(\d+)", x)[0]))
+    """Alias for training.checkpoint.latest_checkpoint (single source of
+    truth for the model_ckpt_steps_*.ckpt naming/rotation scheme)."""
+    from ..training.checkpoint import latest_checkpoint
+
+    return latest_checkpoint(work_dir)
 
 
 def start_profiler_server(port: int = 9999):

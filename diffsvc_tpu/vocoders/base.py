@@ -26,6 +26,10 @@ def get_vocoder_cls(hp):
     short = name.split(".")[-1]
     if short in VOCODERS:
         return VOCODERS[short]
+    # snake_case aliases (e.g. 'nsf_hifigan' -> NsfHifiGAN)
+    compact = short.replace("_", "").lower()
+    if compact in VOCODERS:
+        return VOCODERS[compact]
     pkg = ".".join(name.split(".")[:-1])
     # map reference module paths onto this package
     pkg = pkg.replace("network.vocoders", "diffsvc_tpu.vocoders")

@@ -34,20 +34,26 @@ def mkdir(paths):
 def crossfade_concat(pieces):
     """Overlap-add chunk waveforms with linear crossfades at the seams.
 
-    pieces: list of (audio, ov_left) where ov_left is how many samples at the
-    start of this piece overlap the previous piece's tail."""
+    pieces: list of (audio, ov_left, ov_right) — how far this piece was
+    extended into its neighbors. At each seam the overlap is the previous
+    piece's RIGHT extension plus this piece's LEFT extension (the pieces
+    cover [a-ov_l, b+ov_r] of contiguous [a, b] spans), so both extensions
+    must be blended — blending only ov_left would misalign the ramp by
+    ov_right and duplicate that much audio at every seam."""
     if not pieces:
         return np.zeros(0, np.float32)
     out = np.asarray(pieces[0][0], np.float32).copy()
-    for audio, ov in pieces[1:]:
+    prev_ov_r = pieces[0][2]
+    for audio, ov_l, ov_r in pieces[1:]:
         audio = np.asarray(audio, np.float32)
-        ov = min(ov, len(out), len(audio))
+        ov = min(prev_ov_r + ov_l, len(out), len(audio))
         if ov > 0:
             ramp = np.linspace(0.0, 1.0, ov, dtype=np.float32)
             out[-ov:] = out[-ov:] * (1 - ramp) + audio[:ov] * ramp
             out = np.concatenate([out, audio[ov:]])
         else:
             out = np.concatenate([out, audio])
+        prev_ov_r = ov_r
     return out
 
 
@@ -138,7 +144,8 @@ def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
         expected_total += int(np.ceil(
             (len(data) - ov_l - ov_r) / audio_sr * hp["audio_sample_rate"]))
         if ov_in > 0:
-            pieces.append((fix_audio, int(round(ov_l * ov_out_scale))))
+            pieces.append((fix_audio, int(round(ov_l * ov_out_scale)),
+                           int(round(ov_r * ov_out_scale))))
         else:
             out_audio.extend(list(fix_audio))
 
@@ -146,6 +153,12 @@ def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
         # trim the extensions so the output matches the input duration
         out_audio = crossfade_concat(pieces)[:expected_total]
 
+    if audio_format != "wav":
+        # save_wav writes RIFF/WAV bytes; renaming the extension would ship
+        # WAV payloads as .flac etc. (no flac encoder in this environment)
+        print(f"| WARNING: only wav output is supported; writing wav "
+              f"(requested {audio_format})")
+        audio_format = "wav"
     if out_path is None:
         out_path = (f"./results/{clean_name}_{key}key_{project_name}_"
                     f"{hp['residual_channels']}_{hp['residual_layers']}_"

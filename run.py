@@ -14,6 +14,13 @@ def run_task():
     # `distributed: true` or the JAX_COORDINATOR_ADDRESS env
     maybe_initialize_distributed(hparams)
     assert hparams.get("task_cls", ""), "config must define task_cls"
+    if "vocoder" in str(hparams["task_cls"]).lower():
+        # vocoder adversarial fine-tuning has its own driver (crop batches
+        # of raw waveforms, G/D steps) — not the diffusion Trainer
+        from diffsvc_tpu.training.vocoder_task import train_vocoder
+
+        train_vocoder(hparams)
+        return
     trainer = Trainer(hparams)
     if hparams.get("infer"):
         # --infer: run the test split through full sampling and save
@@ -28,6 +35,12 @@ def run_task():
         if restored is not None:
             st, _, step, _ = restored
             state = trainer.task.load_params_into_state(state, st["params"])
+            if "ema_params" in st and "ema_params" in state:
+                # sample with the TRAINED EMA weights, not a reset copy
+                import jax
+
+                state["ema_params"] = jax.tree.map(lambda a: a,
+                                                   st["ema_params"])
         vocoder = None
         try:
             vocoder = get_vocoder_cls(hparams)(hparams)
@@ -44,6 +57,11 @@ def run_task():
         if restored is not None:
             st, _, trainer.global_step, _ = restored
             state = trainer.task.load_params_into_state(state, st["params"])
+            if "ema_params" in st and "ema_params" in state:
+                import jax
+
+                state["ema_params"] = jax.tree.map(lambda a: a,
+                                                   st["ema_params"])
         valid_ds = FastSpeechDataset("valid", hparams, shuffle=False)
         trainer.validate(state, valid_ds,
                          int(hparams.get("frames_multiple", 128)))

@@ -215,3 +215,30 @@ def test_schedulers():
     assert float(r(50)) < float(r(100))  # warming up
     assert float(r(400)) < float(r(100))  # decaying
     assert float(r(100)) == pytest.approx(1e-3 * 100**-0.5 * 0 + 1e-3 * (100**-0.5) * (256**-0.5), rel=1e-5)
+
+
+def test_step_lr_counts_optimizer_steps_under_accumulation():
+    """optax.MultiSteps advances the inner adamw count once per
+    accumulate_grad_batches micro-steps, so the schedule must NOT divide by
+    accumulate again (reference StepLR steps on global_step // accumulate,
+    SVC_task.py:125)."""
+    import jax.numpy as jnp
+    import optax
+
+    # lr(step) = step: with constant unit grads adamw moves ~-lr per real
+    # update, so the trajectory reveals the counts the schedule saw
+    tx = optax.MultiSteps(
+        optax.adamw(lambda step: step.astype(jnp.float32), weight_decay=0.0),
+        every_k_schedule=2)
+    params = {"w": np.zeros(3, np.float32)}
+    opt_state = tx.init(params)
+    g = {"w": np.ones(3, np.float32)}
+    traj = []
+    for _ in range(6):  # 6 micro-steps = 3 real updates
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        traj.append(float(np.asarray(params["w"][0])))
+    # counts 0,1,2 -> lr 0,1,2 -> w ~ 0 after update 1, ~-1, ~-3
+    assert abs(traj[1]) < 1e-6, traj           # first real update: lr == 0
+    assert -1.2 < traj[3] < -0.8, traj         # second: lr == 1
+    assert -3.5 < traj[5] < -2.5, traj         # third: lr == 2 (NOT 0/0/1)

@@ -50,3 +50,60 @@ def test_crop_batch():
                   "f0": rng.rand(10)})
     batch = crop_batch(items, hp, rng, segment_frames=32)
     assert batch["mels"].shape == (4, 32, 16)
+
+
+def test_train_vocoder_cli_driver(tmp_path):
+    """run.py's vocoder route: binarize (keeping waveforms) then run the
+    train_vocoder loop for a couple of steps and checkpoint."""
+    import os
+
+    import yaml
+
+    from diffsvc_tpu.data.binarizer import SVCBinarizer
+    from diffsvc_tpu.training import checkpoint as ckpt_lib
+    from diffsvc_tpu.training.vocoder_task import train_vocoder
+    from diffsvc_tpu.utils.audio_io import save_wav
+
+    sr = 8000
+    hp = HParams(
+        audio_sample_rate=sr, audio_num_mel_bins=16, fft_size=256,
+        hop_size=64, win_size=256, fmin=30, fmax=4000, wav2spec_eps=1e-6,
+        hidden_size=8, vocoder="nsf_hifigan", use_nsf=True,
+        vocoder_lr=2e-4, lambda_mel=45.0, seed=0, num_spk=1,
+        use_crepe=False, use_vec=False, use_spk_id=False,
+        f0_bin=256, f0_min=50.0, f0_max=1100.0,
+        raw_data_dir=str(tmp_path / "raw"), binary_data_dir=str(tmp_path / "bin"),
+        work_dir=str(tmp_path / "work"), speaker_id="t",
+        choose_test_manually=False, test_prefixes=[],
+        hubert_path=str(tmp_path / "nohubert"),
+        binarization_args=dict(with_f0=True, with_hubert=True,
+                               with_align=True, with_wav=True),
+        max_frames=42000, max_input_tokens=60000, max_sentences=2,
+        max_updates=2, log_interval=1, val_check_interval=2,
+        num_ckpt_keep=2, vocoder_segment_frames=16,
+        # tiny generator (upsample product == hop 64)
+        upsample_initial_channel=16, upsample_rates=(4, 4, 4),
+        upsample_kernel_sizes=(8, 8, 8), resblock="1",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        config_path=str(tmp_path / "cfg.yaml"),
+    )
+    with open(hp["config_path"], "w") as f:
+        yaml.safe_dump({}, f)
+    os.makedirs(hp["raw_data_dir"])
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        t = np.arange(int(sr * 0.5)) / sr
+        save_wav((0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t)).astype(np.float32),
+                 os.path.join(hp["raw_data_dir"], f"v{i}.wav"), sr)
+
+    binarizer = SVCBinarizer(hp)
+
+    class FakeEnc:
+        def encode(self, wav_fn):
+            return rng.randn(12, 8).astype(np.float32)
+
+    binarizer._phone_encoder = lambda: FakeEnc()
+    binarizer.process()
+
+    train_vocoder(hp)
+    assert ckpt_lib.latest_checkpoint(hp["work_dir"])
