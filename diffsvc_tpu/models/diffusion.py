@@ -385,9 +385,12 @@ class GaussianDiffusion:
         return loss, ret
 
     def infer(self, params, batch, rng, *, speedup: Optional[int] = None,
-              use_gt_mel: bool = False, add_noise_step: int = 500):
+              use_gt_mel: bool = False, add_noise_step: int = 500,
+              init_noise=None):
         """Full sampling; returns dict with 'mel_out' [B, T, M] and
-        'f0_denorm'."""
+        'f0_denorm'. ``init_noise`` ([B, T, M]) overrides the x_T draw —
+        used by the reference-parity harness to share noise with the torch
+        sampler (reference network/diff/diffusion.py:268)."""
         ret = fs2.apply(params["fs2"], self.fs2_cfg, batch["hubert"],
                         batch["mel2ph"], batch["f0"], batch.get("uv"),
                         batch.get("energy"), batch.get("spk_embed"))
@@ -404,7 +407,10 @@ class GaussianDiffusion:
                          jax.random.normal(noise_rng, x0.shape, x0.dtype))
         else:
             t_start = self.cfg.K_step
-            x = jax.random.normal(noise_rng, (b, t_mel, self.mel_bins))
+            if init_noise is not None:
+                x = jnp.asarray(init_noise)
+            else:
+                x = jax.random.normal(noise_rng, (b, t_mel, self.mel_bins))
 
         speedup = self.cfg.pndm_speedup if speedup is None else speedup
         sampler = str(self.hp.get("sampler", "plms")).lower()
