@@ -89,12 +89,47 @@ def maybe_initialize_distributed(hp=None) -> bool:
         # do NOT query jax.process_count() here — that would initialize the
         # backend and make a later in-process distributed init impossible
         return False
-    jax.distributed.initialize()
+    # jax.distributed.initialize() reads JAX_COORDINATOR_ADDRESS itself but
+    # NOT num_processes/process_id (those only come from Slurm/OMPI/TPU-pod
+    # auto-detection) — pass them explicitly when the plain env vars are set
+    # so a hand-launched multi-process run (the reference's MASTER_ADDR/PORT
+    # analogue, training/task/base_task.py:254-268) works.
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
     _dist_initialized = True
     print(f"| jax.distributed: process {jax.process_index()}"
           f"/{jax.process_count()}, {len(jax.local_devices())} local"
           f" / {len(jax.devices())} global devices")
     return jax.process_count() > 1
+
+
+def sync_resume_state(state, epoch: int, global_step: int, best, mesh):
+    """Multi-host resume consistency (used by Trainer.fit; no-op when
+    single-process): checkpoints are written by process 0 only, so on a
+    non-shared filesystem other hosts may have restored nothing (or an
+    older step). Broadcast process 0's state/counters to everyone before
+    replicating globally — otherwise make_global_tree would silently
+    assemble "replicated" arrays with divergent per-host shards and the
+    step counters would desync (proc 0 exits at max_updates while the rest
+    hang in collectives). Returns (state, epoch, global_step, best)."""
+    if jax.process_count() <= 1 or mesh is None:
+        return state, epoch, global_step, best
+    from jax.experimental import multihost_utils
+
+    state = multihost_utils.broadcast_one_to_all(state)
+    meta = np.asarray(
+        [epoch, global_step, np.nan if best is None else float(best)],
+        np.float64)
+    meta = np.asarray(multihost_utils.broadcast_one_to_all(meta))
+    epoch, global_step = int(meta[0]), int(meta[1])
+    best = None if np.isnan(meta[2]) else float(meta[2])
+    state["step"] = np.asarray(global_step, np.int32)
+    state = make_global_tree(state, mesh)
+    return state, epoch, global_step, best
 
 
 def make_global_batch(batch: dict, shardings: dict, force: bool = False) -> dict:

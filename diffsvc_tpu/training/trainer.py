@@ -111,27 +111,9 @@ class Trainer:
             state = self.task.load_params_into_state(state, params)
             print(f"| warm-started from {hp['load_ckpt']}")
 
-        if jax.process_count() > 1 and self.mesh is not None:
-            # multi-host resume consistency: checkpoints are written by
-            # process 0 only, so on a non-shared filesystem other hosts may
-            # have restored nothing (or an older step). Broadcast process
-            # 0's state/counters to everyone before replicating globally —
-            # otherwise make_global_tree would silently assemble
-            # "replicated" arrays with divergent per-host shards and the
-            # step counters would desync (proc0 exits at max_updates while
-            # the rest hang in collectives).
-            from jax.experimental import multihost_utils
-
-            state = multihost_utils.broadcast_one_to_all(state)
-            meta = np.asarray(
-                [self.epoch, self.global_step,
-                 np.nan if self.best is None else float(self.best)],
-                np.float64)
-            meta = np.asarray(multihost_utils.broadcast_one_to_all(meta))
-            self.epoch, self.global_step = int(meta[0]), int(meta[1])
-            self.best = None if np.isnan(meta[2]) else float(meta[2])
-            state["step"] = np.asarray(self.global_step, np.int32)
-            state = mesh_lib.make_global_tree(state, self.mesh)
+        state, self.epoch, self.global_step, self.best = \
+            mesh_lib.sync_resume_state(
+                state, self.epoch, self.global_step, self.best, self.mesh)
 
         train_ds = FastSpeechDataset("train", hp, shuffle=True)
         valid_ds = FastSpeechDataset("valid", hp, shuffle=False)
