@@ -6,8 +6,8 @@ Replaces the reference's torchcrepe dependency
 sigmoid over 360 pitch bins (20-cent resolution from 32.70 Hz).
 
 The reference filtering chain is kept: median(periodicity, 3), silence
-threshold -60 dB (framewise RMS dB here; torchcrepe uses A-weighted
-loudness — a documented approximation), periodicity threshold, mean(f0, 3),
+threshold -60 dB A-weighted loudness (torchcrepe loudness.a_weighted,
+re-derived librosa-free below), periodicity threshold, mean(f0, 3),
 NaN->0, then linear interpolation of voiced f0 onto mel frame times.
 
 Decoding: Viterbi over the 360-bin posteriors (lax.scan) with the standard
@@ -108,6 +108,42 @@ def frame_audio(wav16k: np.ndarray, hop: int = HOP):
     mean = frames.mean(axis=1, keepdims=True)
     std = np.maximum(frames.std(axis=1, keepdims=True), 1e-10)
     return (frames - mean) / std
+
+
+def a_weighting_db(freqs: np.ndarray, min_db: float = -80.0) -> np.ndarray:
+    """IEC 61672 A-weighting curve in dB (librosa.A_weighting re-derivation;
+    0 dB at 1 kHz by construction of the +2.0 normalization term)."""
+    f_sq = np.asarray(freqs, np.float64) ** 2
+    const = np.array([12194.217, 20.598997, 107.65265, 737.86223]) ** 2
+    with np.errstate(divide="ignore"):
+        w = 2.0 + 20.0 * (
+            np.log10(const[0]) + 2 * np.log10(np.maximum(f_sq, 0))
+            - np.log10(f_sq + const[0]) - np.log10(f_sq + const[1])
+            - 0.5 * np.log10(f_sq + const[2]) - 0.5 * np.log10(f_sq + const[3]))
+    return np.maximum(w, min_db)
+
+
+_A_REF_DB = 20.0    # torchcrepe loudness.REF_DB
+_A_MIN_DB = -100.0  # torchcrepe loudness.MIN_DB
+
+
+def a_weighted_loudness(wav16k: np.ndarray, hop: int = HOP,
+                        n_fft: int = WINDOW) -> np.ndarray:
+    """Per-frame A-weighted perceptual loudness, matching torchcrepe
+    loudness.a_weighted: centered periodic-Hann STFT (zero padding),
+    librosa amplitude_to_db (ref 1, amin 1e-5, top_db 80 vs the global
+    max), + (A-weighting - 20 dB ref), floor -100 dB, mean over bins."""
+    pad = n_fft // 2
+    w = np.pad(np.asarray(wav16k, np.float64), (pad, pad))
+    n_frames = 1 + len(wav16k) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    mag = np.abs(np.fft.rfft(w[idx] * hann, axis=1))
+    db = 20.0 * np.log10(np.maximum(mag, 1e-5))
+    db = np.maximum(db, db.max() - 80.0)
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / SR)
+    weighted = db + (a_weighting_db(freqs) - _A_REF_DB)[None, :]
+    return np.maximum(weighted, _A_MIN_DB).mean(axis=1).astype(np.float32)
 
 
 def _viterbi(probs: jnp.ndarray, transition_width: int = 12):
@@ -225,14 +261,9 @@ def get_pitch_crepe(wav: np.ndarray, mel: np.ndarray, hp, threshold=0.05,
 
     # filtering chain
     pd = median_filter(pd, 3)
-    # silence: framewise RMS dB below -60
-    pad = WINDOW // 2
-    w = np.pad(wav16k, (pad, pad))
-    idx = np.arange(len(f0))[:, None] * HOP + np.arange(WINDOW)[None, :]
-    idx = np.clip(idx, 0, len(w) - 1)
-    rms = np.sqrt((w[idx] ** 2).mean(axis=1))
-    db = 20 * np.log10(np.maximum(rms, 1e-10))
-    pd[db < -60.0] = 0.0
+    # silence: A-weighted loudness below -60 dB (torchcrepe
+    # threshold.Silence via loudness.a_weighted)
+    pd[a_weighted_loudness(wav16k)[: len(pd)] < -60.0] = 0.0
     f0 = np.where(pd < threshold, np.nan, f0)
     # NaN-aware mean filter (win 3), then NaN (unvoiced) -> 0
     # (data_gen_utils.py:210-213)

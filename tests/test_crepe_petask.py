@@ -154,3 +154,43 @@ def test_crepe_conv_padding_torch_parity():
     b = torch.from_numpy(np.asarray(params["classifier"]["b"]))
     theirs = torch.sigmoid(x @ w + b).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-5)
+
+
+def test_a_weighting_curve_standard_values():
+    """IEC 61672 A-weighting reference points (0 dB at 1 kHz by definition;
+    -19.1 dB at 100 Hz, +1.2 dB at 2 kHz, -1.1 dB at 8 kHz per the
+    standard's tables)."""
+    from diffsvc_tpu.ops.crepe import a_weighting_db
+
+    vals = a_weighting_db(np.array([100.0, 1000.0, 2000.0, 8000.0]))
+    assert abs(vals[1]) < 0.02, vals[1]
+    assert abs(vals[0] - (-19.1)) < 0.15, vals[0]
+    assert abs(vals[2] - 1.2) < 0.1, vals[2]
+    assert abs(vals[3] - (-1.1)) < 0.15, vals[3]
+    # DC is floored at the librosa min_db
+    assert a_weighting_db(np.array([0.0]))[0] == -80.0
+
+
+def test_a_weighted_silence_gate_loud_vs_quiet():
+    """The -60 dB gate must keep a loud mid-band tone voiced and gate a
+    quiet one and true silence. (Note torchcrepe's loudness mean is
+    dominated by amplitude_to_db's top_db=80 relative floor, so same-peak
+    signals of different frequency read alike — we replicate that, not an
+    idealized perceptual meter.)"""
+    from diffsvc_tpu.ops.crepe import HOP, a_weighted_loudness
+
+    sr, dur = 16000, 0.5
+    t = np.arange(int(sr * dur)) / sr
+    loud = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    quiet = (2e-5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+
+    n = 1 + len(loud) // HOP
+    l_loud = a_weighted_loudness(loud)
+    l_quiet = a_weighted_loudness(quiet)
+    l_sil = a_weighted_loudness(np.zeros_like(loud))
+    assert l_loud.shape == (n,)
+    mid = slice(10, n - 10)  # ignore STFT edge frames
+    assert np.all(l_loud[mid] > -60.0), l_loud[mid].min()
+    assert np.all(l_quiet[mid] < -60.0), l_quiet[mid].max()
+    # all-zero input: every weighted bin hits the MIN_DB=-100 floor exactly
+    assert np.allclose(l_sil, -100.0)
