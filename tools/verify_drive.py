@@ -4,12 +4,13 @@ with synthesized reference-format checkpoints and unit sidecars.
 
     python tools/verify_drive.py      # prints ALL VERIFY STEPS PASSED
 
-Scratch dir: /tmp/verify_scratch (recreated each run).
+Scratch dir: a fresh tempfile.mkdtemp() (safe for concurrent runs).
 """
 import os
 import runpy
 import shutil
 import sys
+import tempfile
 
 import jax
 
@@ -18,15 +19,14 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import yaml
 
-REPO = "/root/repo"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 from test_e2e_infer import _make_diffusion_ckpt, _make_hifigan_ckpt, MEL_BINS, HID, RES_CH, LAYERS
 from diffsvc_tpu.utils.audio_io import save_wav
 
-SCRATCH = "/tmp/verify_scratch"
-shutil.rmtree(SCRATCH, ignore_errors=True)
+SCRATCH = tempfile.mkdtemp(prefix="verify_scratch_")
 os.makedirs(f"{SCRATCH}/raw", exist_ok=True)
 os.makedirs(f"{SCRATCH}/checkpoints/testproj", exist_ok=True)
 os.chdir(SCRATCH)
