@@ -90,6 +90,7 @@ class SVCTask:
         # (tools/bench_train.py on v5e-1), with indistinguishable loss.
         # Exposed for precision-sensitive runs: "highest" | "bfloat16" | ...
         precision = self.hp.get("train_matmul_precision") or "default"
+        print_nan_grads = bool(self.hp.get("print_nan_grads"))
 
         def train_step(state, batch, rng):
             rng = jax.random.fold_in(rng, state["step"])
@@ -100,6 +101,21 @@ class SVCTask:
                 return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            if print_nan_grads:
+                # debug affordance for diverging runs (reference
+                # print_nan_gradients, utils/pl_utils.py:1086-1090): report
+                # each parameter whose gradient went non-finite. Trace-time
+                # flag — zero cost when off (the default).
+                from jax.tree_util import keystr, tree_flatten_with_path
+
+                for path, g in tree_flatten_with_path(grads)[0]:
+                    name = keystr(path)
+                    jax.lax.cond(
+                        jnp.all(jnp.isfinite(g)),
+                        lambda: None,
+                        lambda n=name: jax.debug.print(
+                            "| WARNING: non-finite grad in {n} at step {s} "
+                            "(loss={l})", n=n, s=state["step"], l=loss))
             updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
             new_state = {"params": params, "opt_state": opt_state,
@@ -202,8 +218,17 @@ class SVCTask:
         return self._val_step(params, jb, rng)
 
     def sample(self, params, batch, rng, speedup: Optional[int] = None):
-        """Full sampling for validation plots (not jit-cached across shapes)."""
+        """Full sampling for validation plots (not jit-cached across shapes).
+        Multi-host: runs on every process over the replicated global batch
+        (same bytes everywhere) so the SPMD programs stay convergent; the
+        trainer writes plots on process 0 only."""
         jb = self.prepare_batch(batch, shard=False)
+        if jax.process_count() > 1 and self.mesh is not None:
+            from ..parallel.mesh import make_global_batch, replicated
+
+            repl = replicated(self.mesh)
+            jb = make_global_batch(
+                jb, {k: repl for k in jb if hasattr(jb[k], "shape")})
         return self.model.infer(params, jb, rng, speedup=speedup
                                 or self.hp.get("pndm_speedup", 10) or 10)
 

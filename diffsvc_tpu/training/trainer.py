@@ -27,6 +27,20 @@ from . import checkpoint as ckpt_lib
 from .task import SVCTask
 
 
+def vocoder_weights_available(hp) -> bool:
+    """True when the config names a vocoder AND its checkpoint location
+    exists on disk. ``vocoder_ckpt`` may point at a file
+    (``.../model_ckpt_steps_N.ckpt``, or a ``.../model`` prefix as the
+    reference NSF configs do) or at a directory to glob — accept the
+    deepest existing of: the path itself, or its parent directory."""
+    if not hp.get("vocoder"):
+        return False
+    ckpt = str(hp.get("vocoder_ckpt", ""))
+    if not ckpt:
+        return False
+    return os.path.exists(ckpt) or os.path.isdir(os.path.dirname(ckpt))
+
+
 def resolve_task_cls(name: str):
     """Map reference task_cls strings onto framework tasks."""
     if "pe" in name.lower() and "PitchExtraction" in name:
@@ -70,10 +84,9 @@ class Trainer:
         # audio; optional here (training runs fine without the weights)
         self.vocoder = None
         try:
-            from ..vocoders.base import get_vocoder_cls
+            if vocoder_weights_available(hp):
+                from ..vocoders.base import get_vocoder_cls
 
-            if hp.get("vocoder") and os.path.exists(
-                    str(hp.get("vocoder_ckpt", "")).split("/model")[0] or "/nonexistent"):
                 self.vocoder = get_vocoder_cls(hp)(hp)
         except Exception as e:
             print(f"| validation vocoder unavailable: {e}")
@@ -198,12 +211,19 @@ class Trainer:
         num_plots = int(self.hp.get("num_valid_plots", 10))
         multihost = jax.process_count() > 1
         for i, batch in enumerate(self._val_batches(valid_ds, pad_multiple)):
-            loss = self.task.val_step(state["params"], batch, self.rng)
-            losses.append(float(loss))
-            if i < num_plots and not multihost:
-                # plots run full sampling outside the SPMD step; skipped on
-                # multi-host (proc-0-only execution over global params
-                # would diverge the per-process programs)
+            loss = float(self.task.val_step(state["params"], batch, self.rng))
+            if np.isfinite(loss):
+                losses.append(loss)
+            elif self.is_proc0:
+                # NaN-skip in the loss meter (reference
+                # training/task/base_task.py:108-109)
+                print(f"| WARNING: non-finite val loss on batch {i}, "
+                      "excluded from the mean")
+            if i < num_plots:
+                # full sampling runs on EVERY process (identical inputs on
+                # globally-replicated params keep the per-process SPMD
+                # programs convergent); only process 0 has a writer and
+                # renders/logs the figures and audio
                 self._plot_validation(state, batch, i)
         val_loss = float(np.mean(losses)) if losses else float("nan")
         self._log("val", {"loss": val_loss, "mel": val_loss}, self.global_step)
@@ -212,12 +232,17 @@ class Trainer:
         return val_loss
 
     def _plot_validation(self, state, batch, idx: int):
-        """Full sampling + audio/mel logging (SVC_task.py:127-160,212-221)."""
-        if self.writer is None:
-            return
+        """Full sampling + audio/mel logging (SVC_task.py:127-160,212-221).
+
+        Multi-host: the sampling itself must run on all processes (it is a
+        computation over globally-replicated params), so the writer check
+        comes AFTER it — returning early on non-0 processes before the
+        compute would diverge the SPMD programs."""
         try:
             sample_params = state.get("ema_params", state["params"])
             out = self.task.sample(sample_params, batch, self.rng)
+            if self.writer is None:
+                return
             mel_pred = np.asarray(out["mel_out"][0])
             mel_gt = np.asarray(batch["mels"][0])
             from ..utils.plot import spec_to_figure

@@ -95,6 +95,14 @@ def main(out_path):
         losses.append(float(metrics["loss"]))
     print(f"| proc {jax.process_index()}: losses={losses}")
 
+    # validation-plot path: full sampling runs on EVERY process over the
+    # replicated batch (trainer._plot_validation multi-host contract);
+    # process 0 reads the fully-replicated result.
+    out = task.sample(state["params"], _batch(seed=99, b=2),
+                      jax.random.PRNGKey(7), speedup=5)
+    mel = np.asarray(out["mel_out"])
+    assert np.all(np.isfinite(mel)), "non-finite sampled mel"
+
     if jax.process_index() == 0:
         flat = np.concatenate([np.asarray(x).ravel()
                                for x in jax.tree.leaves(state["params"])])

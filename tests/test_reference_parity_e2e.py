@@ -96,13 +96,16 @@ def ref_modules():
         ref_hparams_mod.hparams.update(HP)
         before = set(sys.modules)
         from modules.hifigan.hifigan import HifiGanGenerator
+        from modules.parallel_wavegan.models.melgan import (
+            MelGANMultiScaleDiscriminator)
         from network.diff.diffusion import GaussianDiffusion as RefDiffusion
         from network.diff.net import DiffNet as RefDiffNet
         added = [k for k in sys.modules if k not in before]
         yield types.SimpleNamespace(
             hparams=ref_hparams_mod.hparams,
             RefDiffusion=RefDiffusion, RefDiffNet=RefDiffNet,
-            HifiGanGenerator=HifiGanGenerator)
+            HifiGanGenerator=HifiGanGenerator,
+            MelGANMultiScaleDiscriminator=MelGANMultiScaleDiscriminator)
     finally:
         sys.path.remove(REF)
         for k in added + ["utils.hparams", "utils"] + stubbed:
@@ -284,3 +287,39 @@ def test_hifigan_waveform_parity(ref_modules, tmp_path):
     print(f"\n| e2e HiFi-GAN waveform parity: max|d|={max_abs:.2e}")
     assert wav_ref.shape == wav_jax.shape
     assert max_abs < 2e-5, max_abs
+
+
+def test_melgan_multiscale_discriminator_parity(ref_modules):
+    """Reference MelGANMultiScaleDiscriminator (melgan.py:317-413) vs the
+    JAX port on one converted (weight-norm-folded) state dict: every layer
+    output of every scale must match."""
+    import jax.numpy as jnp
+
+    from diffsvc_tpu.vocoders import melgan as jmg
+
+    torch.manual_seed(4)
+    ref_d = ref_modules.MelGANMultiScaleDiscriminator(
+        channels=8, max_downsample_channels=64,
+        downsample_scales=[4, 4], scales=2)
+    ref_d.eval()
+    cfg = jmg.MelGANDiscriminatorConfig(
+        channels=8, max_downsample_channels=64,
+        downsample_scales=(4, 4), scales=2)
+    params = jmg.convert_multiscale_discriminator(
+        {k: v.numpy() for k, v in ref_d.state_dict().items()}, cfg)
+
+    rng = np.random.RandomState(5)
+    wav = (rng.randn(1, 1, 1024) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        outs_ref = ref_d(torch.from_numpy(wav))
+    outs_jax = jmg.apply_multiscale_discriminator(
+        params, cfg, jnp.asarray(wav[:, 0, :]))
+
+    assert len(outs_ref) == len(outs_jax) == 2
+    for scale_ref, scale_jax in zip(outs_ref, outs_jax):
+        assert len(scale_ref) == len(scale_jax)
+        for a, b in zip(scale_ref, scale_jax):
+            a = a.numpy().transpose(0, 2, 1)  # [B,C,T] -> [B,T,C]
+            b = np.asarray(b)
+            assert a.shape == b.shape, (a.shape, b.shape)
+            np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)

@@ -242,3 +242,77 @@ def test_step_lr_counts_optimizer_steps_under_accumulation():
     assert abs(traj[1]) < 1e-6, traj           # first real update: lr == 0
     assert -1.2 < traj[3] < -0.8, traj         # second: lr == 1
     assert -3.5 < traj[5] < -2.5, traj         # third: lr == 2 (NOT 0/0/1)
+
+
+def test_vocoder_weights_available():
+    from diffsvc_tpu.config import HParams
+    from diffsvc_tpu.training.trainer import vocoder_weights_available
+    import os, tempfile
+
+    assert not vocoder_weights_available(HParams())
+    assert not vocoder_weights_available(HParams(vocoder="HifiGAN"))
+    assert not vocoder_weights_available(
+        HParams(vocoder="HifiGAN", vocoder_ckpt="/nonexistent/dir/model"))
+    with tempfile.TemporaryDirectory() as d:
+        # directory form
+        assert vocoder_weights_available(
+            HParams(vocoder="HifiGAN", vocoder_ckpt=d))
+        # reference NSF ".../model" prefix form (dir exists, file doesn't)
+        assert vocoder_weights_available(
+            HParams(vocoder="NsfHifiGAN", vocoder_ckpt=os.path.join(d, "model")))
+        f = os.path.join(d, "model_ckpt_steps_10.ckpt")
+        open(f, "w").close()
+        assert vocoder_weights_available(
+            HParams(vocoder="HifiGAN", vocoder_ckpt=f))
+
+
+def test_print_nan_grads_flag_compiles_and_fires(capfd):
+    """print_nan_grads (reference utils/pl_utils.py:1086-1090): a batch
+    engineered to produce NaN loss must name the offending grads on stderr
+    without crashing the step."""
+    import jax
+
+    from diffsvc_tpu.config import HParams
+    from diffsvc_tpu.training.task import SVCTask
+
+    hp = HParams(
+        audio_num_mel_bins=8, hidden_size=16, residual_layers=2,
+        residual_channels=8, dilation_cycle_length=2, timesteps=10,
+        K_step=10, diff_loss_type="l2", schedule_type="linear", max_beta=0.02,
+        keep_bins=8, spec_min=[-6.0], spec_max=[1.5], no_fs2=True,
+        use_pitch_embed=True, use_energy_embed=False, use_uv=False,
+        pitch_norm="log", f0_bin=256, f0_min=50.0, f0_max=1100.0,
+        lr=1e-3, scheduler="step_lr", decay_steps=100,
+        optimizer_adam_beta1=0.9, optimizer_adam_beta2=0.98, weight_decay=0,
+        clip_grad_norm=1, accumulate_grad_batches=1, seed=0,
+        print_nan_grads=True,
+    )
+    task = SVCTask(hp)
+    state = task.init_state()
+    b, t_mel, t_ph = 2, 16, 8
+    rng = np.random.RandomState(0)
+    mel2ph = np.clip((np.arange(t_mel)[None, :] * t_ph // t_mel) + 1, 1,
+                     t_ph).astype(np.int32) * np.ones((b, 1), np.int32)
+    batch = {
+        "hubert": rng.randn(b, t_ph, 16).astype(np.float32),
+        "mel2ph": mel2ph,
+        "f0": np.full((b, t_mel), np.log2(220.0), np.float32),
+        "uv": np.zeros((b, t_mel), np.float32),
+        "energy": np.zeros((b, t_mel), np.float32),
+        "mels": np.full((b, t_mel, 8), np.nan, np.float32),  # poison
+    }
+    state, metrics = task.train_step(state, batch, jax.random.PRNGKey(0))
+    jax.effects_barrier()
+    assert not np.isfinite(float(metrics["loss"]))
+    out = capfd.readouterr()
+    assert "non-finite grad" in out.out + out.err
+
+    # clean batch on the same compiled step (fresh params — the NaN step
+    # above poisoned the optimizer update): no warning
+    batch["mels"] = rng.randn(b, t_mel, 8).astype(np.float32)
+    state = task.init_state()
+    state, metrics = task.train_step(state, batch, jax.random.PRNGKey(1))
+    jax.effects_barrier()
+    assert np.isfinite(float(metrics["loss"]))
+    out = capfd.readouterr()
+    assert "non-finite grad" not in out.out + out.err
