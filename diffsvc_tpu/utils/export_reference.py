@@ -72,3 +72,26 @@ def export_gaussian_diffusion(params: Dict, hp, out_path: str,
                 "checkpoint_callback_best": None, "optimizer_states": None,
                 "lr_schedulers": None}, out_path)
     return out_path
+
+
+if __name__ == "__main__":
+    # CLI: convert a framework checkpoint back to reference torch format
+    # (so the reference's own tooling, e.g. its onnx_export.py, can consume
+    # it — see doc/export.md "Why not ONNX artifacts").
+    import argparse
+
+    from ..config.hparams import set_hparams
+    from ..training import checkpoint as ckpt_lib
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--project", required=True)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    config = args.config or f"./checkpoints/{args.project}/config.yaml"
+    hp = set_hparams(config=config, exp_name=args.project, reset=False,
+                     infer=True, print_hparams=False)
+    params = ckpt_lib.load_params_for_infer(f"./checkpoints/{args.project}")
+    path = export_gaussian_diffusion(params, hp, args.out)
+    print(f"| wrote reference-format checkpoint: {path}")

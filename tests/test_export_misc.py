@@ -123,3 +123,52 @@ def test_contentvec_converter_shapes():
     u = contentvec.units(params, cfg, wav)
     assert u.shape[0] == 1 and u.shape[2] == 16
     assert np.isfinite(np.asarray(u)).all()
+
+
+def test_run_exported_cli_matches_inprocess(tmp_path):
+    """tools/run_exported.py (the doc/export.md consumption example) must
+    reproduce the in-process chain from the serialized artifacts alone."""
+    import os
+    import runpy
+    import sys
+
+    from diffsvc_tpu.infer.export import SvcExporter
+    from diffsvc_tpu.models.diffusion import GaussianDiffusion
+
+    hp = _tiny_hp()
+    model = GaussianDiffusion(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    export_dir = tmp_path / "exported"
+    SvcExporter(hp, params).export(str(export_dir), t_mel=32, t_ph=16)
+
+    rng = np.random.RandomState(0)
+    t_mel, t_ph = 32, 16
+    mel2ph = np.clip((np.arange(t_mel) * t_ph // t_mel) + 1, 1,
+                     t_ph)[None, :].astype(np.int32)
+    feats = dict(
+        hubert=(rng.randn(1, t_ph, 16) * 0.1).astype(np.float32),
+        mel2ph=mel2ph,
+        f0=np.full((1, t_mel), np.log2(220.0), np.float32),
+        uv=np.zeros((1, t_mel), np.float32),
+        energy=np.zeros((1, t_mel), np.float32),
+        noise=rng.randn(1, t_mel, 8).astype(np.float32),
+    )
+    np.savez(tmp_path / "feats.npz", **feats)
+
+    out_dir = tmp_path / "out"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    argv, sys.argv = sys.argv, [
+        "run_exported.py", "--export_dir", str(export_dir),
+        "--features", str(tmp_path / "feats.npz"), "--out", str(out_dir)]
+    try:
+        runpy.run_path(os.path.join(repo, "tools", "run_exported.py"),
+                       run_name="__main__")
+    finally:
+        sys.argv = argv
+
+    mel_cli = np.load(out_dir / "mel.npy")
+    batch = {k: jnp.asarray(v) for k, v in feats.items() if k != "noise"}
+    out = model.infer(params, batch, jax.random.PRNGKey(0),
+                      init_noise=jnp.asarray(feats["noise"]))
+    np.testing.assert_allclose(mel_cli, np.asarray(out["mel_out"]),
+                               rtol=1e-5, atol=1e-5)
