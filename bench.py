@@ -80,6 +80,7 @@ def main():
     voc_params = gen.init(jax.random.PRNGKey(2), voc_cfg)
 
     infer_fn = jax.jit(lambda p, b, r: model.infer(p, b, r, speedup=SPEEDUP))
+    last_batch = {}  # kept for the post-run MFU cost analysis
     voc_fn = jax.jit(lambda p, m, f0, r: gen.apply(p, voc_cfg, m, f0, r))
     hub_fn = lambda w: hubert_model.units(hub_params, hub_cfg, w)
 
@@ -118,6 +119,7 @@ def main():
         batch = {"hubert": jnp.asarray(units), "mel2ph": jnp.asarray(mel2ph),
                  "f0": jnp.asarray(f0b), "uv": jnp.asarray(uvb),
                  "mels": jnp.asarray(melb)}
+        last_batch.update(batch)
         t_cond = time.time() - t0
 
         # --- diffusion denoise loop ---
@@ -155,6 +157,35 @@ def main():
     rtf_modular = best_total / SECS
     frames_per_sec = best["T"] * (hp["K_step"] // SPEEDUP) / best["diffusion"]
     log(f"| denoise mel-frames/sec (x{hp['K_step'] // SPEEDUP} NFE): {frames_per_sec:.0f}")
+
+    # MFU of the sampling loop. XLA cost_analysis counts a lax.scan body
+    # ONCE (trip count not multiplied), so cost the single denoiser step and
+    # scale by NFE; the conditioner projections are hoisted out of the scan
+    # in the real sampler (hoist_cond=True), so their per-step share is
+    # counted once, not NFE times. Peak: v5e bf16/fp32-acc single-pass MXU
+    # 197 TFLOP/s (v4: 275).
+    try:
+        NFE = hp["K_step"] // SPEEDUP
+        pad_T = last_batch["f0"].shape[1]
+        step_fn = jax.jit(lambda p, x, tb, c: model._dec.apply(
+            p["denoise_fn"], model.net_cfg, x, tb, c))
+        x_ex = jnp.zeros((1, pad_T, NMEL), jnp.float32)
+        tb_ex = jnp.zeros((1,), jnp.int32)
+        c_ex = jnp.zeros((1, pad_T, hp["hidden_size"]), jnp.float32)
+        cost = step_fn.lower(params, x_ex, tb_ex, c_ex).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_step = float(cost.get("flops", 0.0))
+        cond_flops = 2.0 * hp["residual_layers"] * hp["hidden_size"] \
+            * 2 * hp["residual_channels"] * pad_T
+        flops = (flops_step - cond_flops) * NFE + cond_flops
+        kind = str(getattr(dev, "device_kind", dev)).lower()
+        peak = 275e12 if "v4" in kind else 197e12
+        mfu = flops / best["diffusion"] / peak
+        log(f"| sampling-loop FLOPs: {flops/1e12:.2f} TFLOP over {NFE} NFE, "
+            f"MFU {100*mfu:.1f}% of {peak/1e12:.0f} TFLOP/s peak")
+    except Exception as e:  # cost_analysis availability varies by backend
+        log(f"| MFU unavailable: {e}")
     log(f"| modular end-to-end RTF: {rtf_modular:.4f}")
 
     # ---- fused single-dispatch graph (the serving path) ----
@@ -166,16 +197,20 @@ def main():
     voc = SimpleNamespace(params=voc_params, cfg=voc_cfg)
     fused = FusedSvc(hp, params, voc, hubert_params=hub_params,
                      hubert_cfg=hub_cfg, speedup=SPEEDUP)
+    def _sync(out):
+        # block by FETCHING a few samples — on the tunneled device,
+        # block_until_ready alone has been observed to return early,
+        # yielding bogus sub-ms timings; a host read cannot
+        np.asarray(out[0][-4:])
+
     log("| fused warmup (compile)...")
     t0 = time.time()
-    out = fused(wav)
-    jax.block_until_ready(out)
+    _sync(fused(wav))
     log(f"| fused warmup {time.time() - t0:.1f}s")
     fused_times = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.time()
-        out = fused(wav)
-        jax.block_until_ready(out)
+        _sync(fused(wav, rng=jax.random.PRNGKey(100 + i)))
         fused_times.append(time.time() - t0)
     rtf_fused = min(fused_times) / SECS
     log(f"| fused RTF fp32: {rtf_fused:.4f} (runs: "
@@ -187,16 +222,42 @@ def main():
     hp["hubert_compute_dtype"] = "bfloat16"
     fused_bf16 = FusedSvc(hp, params, voc, hubert_params=hub_params,
                           hubert_cfg=hub_cfg, speedup=SPEEDUP)
-    out = fused_bf16(wav)
-    jax.block_until_ready(out)
+    _sync(fused_bf16(wav))
     bf16_times = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.time()
-        out = fused_bf16(wav)
-        jax.block_until_ready(out)
+        _sync(fused_bf16(wav, rng=jax.random.PRNGKey(200 + i)))
         bf16_times.append(time.time() - t0)
     rtf_bf16 = min(bf16_times) / SECS
-    log(f"| fused RTF bf16: {rtf_bf16:.4f}")
+    log(f"| fused RTF bf16: {rtf_bf16:.4f} (runs: "
+        + " ".join(f"{t:.3f}" for t in bf16_times) + ")")
+
+    # steady-state serving throughput: 4 dispatches in flight, sync once —
+    # amortizes the per-call host->device round trip (the tunnel on this
+    # bench host), i.e. the RTF a pipelined server actually sustains
+    t0 = time.time()
+    outs = [fused_bf16(wav, rng=jax.random.PRNGKey(10 + i)) for i in range(4)]
+    for o in outs:
+        _sync(o)
+    rtf_tp = (time.time() - t0) / (4 * SECS)
+    log(f"| pipelined serving RTF (4 in flight, bf16): {rtf_tp:.4f}")
+
+    # batched serving: N chunks in ONE vmapped dispatch — at batch 1 the
+    # chip is overhead/latency bound (MFU ~3%), so batching slicer chunks
+    # recovers the throughput headroom
+    outs = fused_bf16.batched([wav] * 4)
+    for o in outs:
+        np.asarray(o[0][-4:])
+    bt = []
+    for i in range(3):
+        t0 = time.time()
+        outs = fused_bf16.batched([wav] * 4, rng=jax.random.PRNGKey(50 + i))
+        for o in outs:
+            np.asarray(o[0][-4:])
+        bt.append(time.time() - t0)
+    rtf_batched = min(bt) / (4 * SECS)
+    log(f"| batched serving RTF (batch 4, bf16, one dispatch): {rtf_batched:.4f}"
+        f" (runs: " + " ".join(f"{t:.3f}" for t in bt) + ")")
 
     # headline = the production serving mode: fused single-dispatch graph with
     # bf16 denoiser/vocoder/hubert (sampler math fp32) — quality-bounded vs

@@ -5,9 +5,10 @@ vocoder as separate jitted calls — each one a host->device round trip. For
 serving, this module compiles the ENTIRE post-slicing pipeline into ONE
 XLA program per length bucket:
 
-    (wav_44k, wav_16k, rng) -> (wav_out, f0, mel)
+    (wav_44k, rng) -> (wav_out, f0, mel)
 
 On-device re-implementations of the host glue:
+- the 44.1k->16k HuBERT resample as a polyphase gather+dot (ops/resample),
 - uniform mel2ph alignment as a searchsorted (no Python loop),
 - norm_interp_f0 as forward/backward-fill linear interpolation,
 - the AC pitch tracker's mel-grid padding with static sizes.
@@ -97,7 +98,10 @@ class FusedSvc:
         self._fns = {}
 
     # ------------------------------------------------------------------
-    def _build(self, n44: int, n16: int):
+    def _build(self, n44: int):
+        from ..ops.resample import resample_length, resample_poly_device
+
+        n16 = resample_length(n44, self.hp["audio_sample_rate"], 16000)
         hp = self.hp
         sr = hp["audio_sample_rate"]
         hop = hp["hop_size"]
@@ -127,8 +131,12 @@ class FusedSvc:
 
         # params enter as ARGUMENTS (not closure constants) so the compiled
         # HLO stays small and weights live on-device between calls
-        def fused(diff_params, hub_params, voc_params, wav44, wav16, rng,
+        def fused(diff_params, hub_params, voc_params, wav44, rng,
                   key_shift, spk):
+            # --- 44.1k -> 16k resample for HuBERT, in-graph (polyphase
+            # gather+dot; removes the last host-side DSP stage) ---
+            wav16 = resample_poly_device(wav44, sr, 16000)
+
             # --- mel ---
             if is_nsf:
                 mel = mel_ops.wav2mel_nsf(
@@ -212,12 +220,27 @@ class FusedSvc:
                                 jax.random.fold_in(rng, 7), dtype=dtype)
             return wav_out[0], f0_voc[0], mel_pred[0]
 
-        return jax.jit(fused)
+        return fused
+
+    def _get_fn(self, n44: int):
+        if n44 not in self._fns:
+            self._fns[n44] = jax.jit(self._build(n44))
+        return self._fns[n44]
+
+    def _get_batched_fn(self, n44: int):
+        """vmap of the whole fused graph over chunks: one dispatch converts
+        N equal-bucket chunks. At batch 1 the chip is latency/overhead
+        bound (MFU ~3%); batching chunks from the slicer recovers the
+        throughput headroom without touching the graph."""
+        key = ("batched", n44)
+        if key not in self._fns:
+            fused = self._build(n44)
+            self._fns[key] = jax.jit(jax.vmap(
+                fused, in_axes=(None, None, None, 0, 0, 0, None)))
+        return self._fns[key]
 
     def __call__(self, wav44: np.ndarray, rng=None, key_shift: int = 0,
                  spk_id: int = 0):
-        from ..utils.audio_io import resample
-
         hp = self.hp
         bucket = int(hp.get("fused_bucket_samples", 0))
         true_n44 = len(wav44)
@@ -225,15 +248,10 @@ class FusedSvc:
         if bucket:
             n44 = -(-n44 // bucket) * bucket
             wav44 = np.pad(wav44, (0, n44 - len(wav44)))
-        wav16 = resample(np.asarray(wav44, np.float32),
-                         hp["audio_sample_rate"], 16000)
-        key = (n44, len(wav16))
-        if key not in self._fns:
-            self._fns[key] = self._build(*key)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        wav_o, f0_o, mel_o = self._fns[key](
+        wav_o, f0_o, mel_o = self._get_fn(n44)(
             self.params, self.hub_params, self.vocoder.params,
-            jnp.asarray(wav44, jnp.float32), jnp.asarray(wav16), rng,
+            jnp.asarray(wav44, jnp.float32), rng,
             jnp.float32(key_shift), jnp.int32(spk_id))
         if n44 != true_n44:
             # trim the vocoded bucket padding back to the true input length
@@ -243,3 +261,41 @@ class FusedSvc:
             f0_o = f0_o[:t_true]
             mel_o = mel_o[:t_true]
         return wav_o, f0_o, mel_o
+
+    def batched(self, wavs, rng=None, key_shifts=None, spk_id: int = 0):
+        """Convert N chunks in ONE dispatch (vmapped fused graph).
+
+        All chunks are padded to the longest (rounded up to
+        ``fused_bucket_samples`` when set, bounding recompiles). Returns a
+        list of (wav_out, f0, mel) trimmed to each chunk's true length.
+        ``key_shifts`` may be a scalar or a per-chunk sequence.
+        """
+        hp = self.hp
+        n = len(wavs)
+        assert n >= 1
+        lens = [len(w) for w in wavs]
+        n44 = max(lens)
+        bucket = int(hp.get("fused_bucket_samples", 0))
+        if bucket:
+            n44 = -(-n44 // bucket) * bucket
+        stacked = np.zeros((n, n44), np.float32)
+        for i, w in enumerate(wavs):
+            stacked[i, : len(w)] = w
+        if key_shifts is None:
+            key_shifts = 0
+        if np.ndim(key_shifts) == 0:
+            key_shifts = [key_shifts] * n
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rngs = jax.random.split(rng, n)
+        wav_o, f0_o, mel_o = self._get_batched_fn(n44)(
+            self.params, self.hub_params, self.vocoder.params,
+            jnp.asarray(stacked), rngs,
+            jnp.asarray(np.asarray(key_shifts, np.float32)),
+            jnp.int32(spk_id))
+        hop = int(hp["hop_size"])
+        out = []
+        for i, ln in enumerate(lens):
+            t_true = -(-ln // hop)
+            out.append((wav_o[i, : min(ln, wav_o.shape[1])],
+                        f0_o[i, :t_true], mel_o[i, :t_true]))
+        return out

@@ -136,6 +136,25 @@ class Svc:
                            jax.random.PRNGKey(seed), key_shift=int(key),
                            spk_id=self.resolve_spk_id(None))
 
+    def infer_fused_batched(self, wavs, key: int = 0, acc: int = 20,
+                            seed: int = 0, compute_dtype=None):
+        """Batched serving fast path: N slicer chunks in ONE vmapped
+        dispatch (FusedSvc.batched). At batch 1 the chip is overhead-bound;
+        batching chunks of a song recovers the throughput headroom.
+        Returns a list of (wav_out, f0, mel) per chunk."""
+        if self._fused is None or getattr(self._fused, "speedup", None) != int(acc):
+            from .fused import FusedSvc
+
+            self._fused = FusedSvc(self.hp, self.params, self.vocoder,
+                                   hubert_params=self.hubert.params,
+                                   hubert_cfg=self.hubert.cfg,
+                                   speedup=int(acc),
+                                   compute_dtype=compute_dtype)
+        return self._fused.batched(
+            [np.asarray(w, np.float32) for w in wavs],
+            rng=jax.random.PRNGKey(seed), key_shifts=int(key),
+            spk_id=self.resolve_spk_id(None))
+
     def _jit_infer(self, speedup: int, use_gt_mel: bool = False,
                    add_noise_step: int = 500):
         key = (speedup, use_gt_mel, add_noise_step)

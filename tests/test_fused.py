@@ -104,3 +104,52 @@ def test_fused_key_shift(fused_model):
     v = np.asarray(f0_up)
     # +12 semitones -> vocoder f0 doubled
     assert abs(np.median(v[v > 0]) - 440.0) < 10
+
+
+def test_device_resampler_matches_scipy():
+    """ops/resample must match scipy.signal.resample_poly (the host path in
+    utils/audio_io.py and the reference's resampy call,
+    data_gen_utils.py:195) to fp32 accuracy, including odd lengths."""
+    from scipy.signal import resample_poly
+
+    from diffsvc_tpu.ops.resample import resample_length, resample_poly_device
+
+    rng = np.random.RandomState(0)
+    for n, pair in [(44100, (44100, 16000)), (44101, (44100, 16000)),
+                    (12345, (44100, 16000)), (24000, (24000, 16000))]:
+        x = rng.randn(n)
+        import math
+        g = math.gcd(*pair)
+        ref = resample_poly(x, pair[1] // g, pair[0] // g).astype(np.float32)
+        got = np.asarray(resample_poly_device(x.astype(np.float32), *pair))
+        assert got.shape == ref.shape == (resample_length(n, *pair),)
+        np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_fused_batched_matches_sequential(fused_model):
+    """FusedSvc.batched (one vmapped dispatch over N chunks) must agree
+    with per-chunk calls; shorter chunks are padded to the longest and
+    trimmed back."""
+    sr = 8000
+    t = np.arange(sr) / sr
+    w1 = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    w2 = (0.3 * np.sin(2 * np.pi * 330 * t[: int(0.7 * sr)])).astype(np.float32)
+
+    rng = jax.random.PRNGKey(5)
+    rngs = jax.random.split(rng, 2)
+    outs = fused_model.batched([w1, w2], rng=rng, key_shifts=[0, 2])
+
+    for i, (w, ks) in enumerate([(w1, 0), (w2, 2)]):
+        # the batched path pads chunk i to the longest length; reproduce
+        # that padding for the sequential reference call
+        wp = np.zeros(len(w1), np.float32)
+        wp[: len(w)] = w
+        ref_w, ref_f0, ref_mel = fused_model(wp, rng=rngs[i], key_shift=ks)
+        bw, bf0, bm = outs[i]
+        t_true = -(-len(w) // 64)
+        np.testing.assert_allclose(np.asarray(bw), np.asarray(ref_w)[: len(w)],
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(bf0),
+                                   np.asarray(ref_f0)[:t_true], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(bm),
+                                   np.asarray(ref_mel)[:t_true], atol=2e-4)
