@@ -89,6 +89,13 @@ def hann_window(n: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float32)
 
 
+def _use_dft_matmul() -> bool:
+    """DFT-as-matmul beats XLA's FFT on TPU; CPU/GPU keep the real FFT."""
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
 def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     """Frame a padded 1-D signal into [n_frames, n_fft] (no further padding)."""
     n_frames = 1 + (y.shape[-1] - n_fft) // hop
@@ -111,14 +118,38 @@ def stft_mag(y: jnp.ndarray, n_fft: int, hop: int, win_length: int,
         lp = (n_fft - win_length) // 2
         win = np.pad(win, (lp, n_fft - win_length - lp))
     frames = frame_signal(y, n_fft, hop) * win[None, :]
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    if _use_dft_matmul():
+        # XLA's TPU FFT is an order of magnitude slower than the MXU for
+        # these shapes (~90 ms vs ~5 ms for 862x2048 frames): compute the
+        # rDFT as two fp32-highest matmuls against device-generated
+        # cos/sin matrices (no large constants in the HLO).
+        n_bins = n_fft // 2 + 1
+        # range-reduce n*k mod N in int32 BEFORE the float conversion:
+        # raw angles reach ~2pi*1e6 rad and large-argument sin/cos
+        # range reduction is catastrophically slow on the VPU (measured
+        # seconds per call)
+        nk = (jnp.arange(n_fft, dtype=jnp.int32)[:, None]
+              * jnp.arange(n_bins, dtype=jnp.int32)[None, :]) % n_fft
+        # optimization_barrier: without it XLA constant-folds the 2x2M-entry
+        # trig tables at COMPILE time (~55 s extra per bucket); computing
+        # them on device each call costs ~1 ms
+        nk = jax.lax.optimization_barrier(nk.astype(jnp.float32))
+        ang = (2.0 * np.pi / n_fft) * nk
+        re = jnp.matmul(frames, jnp.cos(ang),
+                        precision=jax.lax.Precision.HIGHEST)
+        im = -jnp.matmul(frames, jnp.sin(ang),
+                         precision=jax.lax.Precision.HIGHEST)
+        power = re**2 + im**2
+    else:
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+        power = spec.real**2 + spec.imag**2
     if mag_eps > 0:
-        return jnp.sqrt(spec.real**2 + spec.imag**2 + mag_eps)
+        return jnp.sqrt(power + mag_eps)
     if power_floor > 0:
         # parallel_wavegan-style clamp: sqrt(max(power, floor)) — finite
         # gradient at exactly-zero bins (stft_loss.py:25)
-        return jnp.sqrt(jnp.maximum(spec.real**2 + spec.imag**2, power_floor))
-    return jnp.abs(spec)
+        return jnp.sqrt(jnp.maximum(power, power_floor))
+    return jnp.sqrt(power)
 
 
 @functools.partial(jax.jit, static_argnames=(

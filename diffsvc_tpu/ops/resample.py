@@ -87,10 +87,23 @@ def resample_poly_device(x, orig_sr: int, target_sr: int):
     g, offset, l_w, up, down = _block_design(int(orig_sr), int(target_sr))
     n_blocks = -(-n_out // up)
 
+    import jax
+
+    # Build the [n_blocks, Lw] overlapping windows gather-free: reshape the
+    # padded signal into [*, down] blocks, then concatenate shifted block
+    # views (window b = blocks b..b+q). Plain gather and a C_in=1 strided
+    # conv both measured 60-90 ms on TPU; this is slices + one fp32 matmul.
+    q, rem = divmod(l_w, down)
     pad_left = max(0, -offset)
-    pad_right = max(0, (n_blocks - 1) * down + offset + l_w - n_in + pad_left)
-    xp = jnp.pad(jnp.asarray(x, jnp.float32), (pad_left, pad_right))
-    rows = jnp.arange(n_blocks, dtype=jnp.int32) * down + (offset + pad_left)
-    windows = xp[rows[:, None] + jnp.arange(l_w, dtype=jnp.int32)[None, :]]
-    y = windows @ jnp.asarray(g)               # [n_blocks, up] on the MXU
+    start = offset + pad_left  # == max(0, offset); 0 for every real design
+    total = start + (n_blocks + q + 1) * down
+    xp = jnp.pad(jnp.asarray(x, jnp.float32),
+                 (pad_left, max(0, total - n_in - pad_left)))
+    blocks = xp[start: start + (n_blocks + q + 1) * down].reshape(-1, down)
+    parts = [blocks[k: k + n_blocks] for k in range(q)]
+    if rem:
+        parts.append(blocks[q: q + n_blocks, :rem])
+    windows = jnp.concatenate(parts, axis=1)       # [n_blocks, Lw]
+    y = jnp.matmul(windows, jnp.asarray(g),
+                   precision=jax.lax.Precision.HIGHEST)
     return y.reshape(-1)[:n_out]

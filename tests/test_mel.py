@@ -97,3 +97,26 @@ def test_energy_from_mel():
     # quirk parity: natural exp of log10 values
     expect = np.sqrt(np.sum(np.exp(np.log10(2.0)) ** 2 * np.ones(80)))
     np.testing.assert_allclose(e, expect, rtol=1e-6)
+
+
+def test_dft_matmul_path_matches_rfft(monkeypatch):
+    """The TPU DFT-as-matmul branch must match the rFFT branch (CPU runs
+    the rfft path by default; force the matmul branch here)."""
+    from diffsvc_tpu.ops import mel as mel_ops
+
+    rng = np.random.RandomState(0)
+    wav = rng.randn(8000).astype(np.float32)
+    ref = np.asarray(mel_ops.stft_mag(jnp.asarray(wav), 512, 128, 512))
+    monkeypatch.setattr(mel_ops, "_use_dft_matmul", lambda: True)
+    got = np.asarray(mel_ops.stft_mag(jnp.asarray(wav), 512, 128, 512))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+    # and through the full mel stage
+    ref_mel = np.asarray(mel_ops.wav2mel_nsf.__wrapped__(
+        jnp.asarray(wav), sr=8000, n_fft=512, hop=128, win_length=512,
+        n_mels=40, fmin=30.0, fmax=4000.0))
+    monkeypatch.undo()
+    got_mel = np.asarray(mel_ops.wav2mel_nsf.__wrapped__(
+        jnp.asarray(wav), sr=8000, n_fft=512, hop=128, win_length=512,
+        n_mels=40, fmin=30.0, fmax=4000.0))
+    np.testing.assert_allclose(got_mel, ref_mel, atol=5e-3)
