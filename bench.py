@@ -232,38 +232,59 @@ def main():
     log(f"| fused RTF bf16: {rtf_bf16:.4f} (runs: "
         + " ".join(f"{t:.3f}" for t in bf16_times) + ")")
 
+    # bf16 pipeline + channel-packed fp32 vocoder (tools/bench_voc.py: packed
+    # fp32 beats both plain fp32 and plain bf16; packed bf16 regresses)
+    hp_mix = dict(hp)
+    hp_mix["voc_compute_dtype"] = ""
+    hp_mix["vocoder_channel_pack"] = "on"
+    voc_packed = SimpleNamespace(
+        params=voc_params, cfg=voc_cfg, pack_lanes=128,
+        run_params=gen.pack_params(voc_params, voc_cfg, 128))
+    fused_mix = FusedSvc(hp_mix, params, voc_packed, hubert_params=hub_params,
+                         hubert_cfg=hub_cfg, speedup=SPEEDUP)
+    _sync(fused_mix(wav))
+    mix_times = []
+    for i in range(5):
+        t0 = time.time()
+        _sync(fused_mix(wav, rng=jax.random.PRNGKey(300 + i)))
+        mix_times.append(time.time() - t0)
+    rtf_mix = min(mix_times) / SECS
+    log(f"| fused RTF bf16+packed-fp32-voc: {rtf_mix:.4f} (runs: "
+        + " ".join(f"{t:.3f}" for t in mix_times) + ")")
+
     # steady-state serving throughput: 4 dispatches in flight, sync once —
     # amortizes the per-call host->device round trip (the tunnel on this
     # bench host), i.e. the RTF a pipelined server actually sustains
     t0 = time.time()
-    outs = [fused_bf16(wav, rng=jax.random.PRNGKey(10 + i)) for i in range(4)]
+    outs = [fused_mix(wav, rng=jax.random.PRNGKey(10 + i)) for i in range(4)]
     for o in outs:
         _sync(o)
     rtf_tp = (time.time() - t0) / (4 * SECS)
-    log(f"| pipelined serving RTF (4 in flight, bf16): {rtf_tp:.4f}")
+    log(f"| pipelined serving RTF (4 in flight, bf16+packed-voc): {rtf_tp:.4f}")
 
     # batched serving: N chunks in ONE vmapped dispatch — at batch 1 the
     # chip is overhead/latency bound (MFU ~3%), so batching slicer chunks
     # recovers the throughput headroom
-    outs = fused_bf16.batched([wav] * 4)
+    outs = fused_mix.batched([wav] * 4)
     for o in outs:
         np.asarray(o[0][-4:])
     bt = []
     for i in range(3):
         t0 = time.time()
-        outs = fused_bf16.batched([wav] * 4, rng=jax.random.PRNGKey(50 + i))
+        outs = fused_mix.batched([wav] * 4, rng=jax.random.PRNGKey(50 + i))
         for o in outs:
             np.asarray(o[0][-4:])
         bt.append(time.time() - t0)
     rtf_batched = min(bt) / (4 * SECS)
-    log(f"| batched serving RTF (batch 4, bf16, one dispatch): {rtf_batched:.4f}"
+    log(f"| batched serving RTF (batch 4, bf16+packed-voc, one dispatch): {rtf_batched:.4f}"
         f" (runs: " + " ".join(f"{t:.3f}" for t in bt) + ")")
 
     # headline = the production serving mode: fused single-dispatch graph with
-    # bf16 denoiser/vocoder/hubert (sampler math fp32) — quality-bounded vs
-    # fp32 in tests/test_fused.py::test_fused_bf16_close_to_fp32. fp32 kept
-    # in stderr for reference; min() guards against tunnel-latency variance.
-    rtf = min(rtf_bf16, rtf_fused)
+    # bf16 denoiser/hubert (sampler math fp32) and the best vocoder config —
+    # quality-bounded vs fp32 in tests/test_fused.py (bf16 + packed parity
+    # tests). fp32 kept in stderr for reference; min() guards against
+    # tunnel-latency variance.
+    rtf = min(rtf_bf16, rtf_fused, rtf_mix)
     log(f"| end-to-end RTF (fused bf16 serving): {rtf:.4f} (target < 0.05)")
     print(json.dumps({
         "metric": "e2e_rtf_44k1_10s_acc20",

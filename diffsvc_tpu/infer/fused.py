@@ -216,8 +216,15 @@ class FusedSvc:
             f0_voc = out["f0_denorm"][:, :t_mel]
             dtype = jnp.bfloat16 if str(hp.get("voc_compute_dtype", "")) in (
                 "bf16", "bfloat16") else None
-            wav_out = gen.apply(voc_params, voc.cfg, voc_in, f0_voc,
-                                jax.random.fold_in(rng, 7), dtype=dtype)
+            lanes = getattr(voc, "pack_lanes", 0)
+            if lanes:  # channel-packed MXU path (ops/packed_conv.py)
+                wav_out = gen.apply_packed(
+                    voc_params, voc.cfg, voc_in, f0_voc,
+                    jax.random.fold_in(rng, 7), dtype=dtype,
+                    lane_target=lanes)
+            else:
+                wav_out = gen.apply(voc_params, voc.cfg, voc_in, f0_voc,
+                                    jax.random.fold_in(rng, 7), dtype=dtype)
             return wav_out[0], f0_voc[0], mel_pred[0]
 
         return fused
@@ -250,7 +257,8 @@ class FusedSvc:
             wav44 = np.pad(wav44, (0, n44 - len(wav44)))
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         wav_o, f0_o, mel_o = self._get_fn(n44)(
-            self.params, self.hub_params, self.vocoder.params,
+            self.params, self.hub_params,
+            getattr(self.vocoder, "run_params", self.vocoder.params),
             jnp.asarray(wav44, jnp.float32), rng,
             jnp.float32(key_shift), jnp.int32(spk_id))
         if n44 != true_n44:
@@ -288,7 +296,8 @@ class FusedSvc:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rngs = jax.random.split(rng, n)
         wav_o, f0_o, mel_o = self._get_batched_fn(n44)(
-            self.params, self.hub_params, self.vocoder.params,
+            self.params, self.hub_params,
+            getattr(self.vocoder, "run_params", self.vocoder.params),
             jnp.asarray(stacked), rngs,
             jnp.asarray(np.asarray(key_shifts, np.float32)),
             jnp.int32(spk_id))

@@ -273,9 +273,15 @@ class Svc:
                 voc_in = jnp.asarray(mel_clip * (LN_10 if is_nsf else 1.0))
                 f0_voc = jnp.asarray(f0_pred_all) \
                     if self.hp.get("use_nsf") else None
-                wavs = np.asarray(gen.apply(
-                    self.vocoder.params, self.vocoder.cfg, voc_in, f0_voc,
-                    jax.random.PRNGKey(seed)))
+                lanes = getattr(self.vocoder, "pack_lanes", 0)
+                if lanes:  # channel-packed MXU path (ops/packed_conv.py)
+                    wavs = np.asarray(gen.apply_packed(
+                        self.vocoder.run_params, self.vocoder.cfg, voc_in,
+                        f0_voc, jax.random.PRNGKey(seed), lane_target=lanes))
+                else:
+                    wavs = np.asarray(gen.apply(
+                        self.vocoder.params, self.vocoder.cfg, voc_in, f0_voc,
+                        jax.random.PRNGKey(seed)))
 
             hop_up = None
             for j, i in enumerate(idxs):

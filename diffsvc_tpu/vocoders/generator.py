@@ -161,6 +161,210 @@ def _resblock2(p, x, kernel: int, dilations: Sequence[int]):
     return x
 
 
+def _stage_channels(cfg: HifiGanConfig, i: int) -> int:
+    return cfg.upsample_initial_channel // (2 ** (i + 1))
+
+
+def packing_enabled(hp) -> bool:
+    """``vocoder_channel_pack`` hparam: on / off / auto.
+
+    auto = pack on TPU when the vocoder runs fp32.  Measured on v5e
+    (tools/bench_voc.py, 10 s @ 44.1 kHz, openvpi dims): packed fp32
+    37.9 ms vs plain fp32 49.5 ms (1.31x) and vs plain bf16 46.1 ms —
+    but packed *bf16* regresses to 50.4 ms (the structural-zero FLOPs
+    cost more than the lane fill saves once inputs are half-width), so
+    auto declines to pack a bf16 vocoder."""
+    mode = str(hp.get("vocoder_channel_pack", "auto")).lower()
+    if mode in ("1", "true", "on", "yes"):
+        return True
+    if mode in ("0", "false", "off", "no", "none"):
+        return False
+    voc_bf16 = str(hp.get("voc_compute_dtype", "")) in ("bf16", "bfloat16")
+    return jax.default_backend() == "tpu" and not voc_bf16
+
+
+def pack_schedule(cfg: HifiGanConfig, lane_target: int = 128):
+    """Per-upsample-stage packing plan: (P_in, P_out).
+
+    Packing starts at the first transposed conv whose output channels drop
+    below ``lane_target`` (the MXU lane width); a packed ConvT multiplies
+    the pack factor by its stride (P_out = P_in * u, constant block count).
+    Because channels halve while rates are >= 2, effective lanes C*P never
+    shrink once packing starts, and at pack start C*u >= 2C >= lane_target
+    — so this natural growth alone always reaches the target."""
+    p = 1
+    sched = []
+    for i, u in enumerate(cfg.upsample_rates):
+        c_cur = _stage_channels(cfg, i)
+        p_in = p
+        if p_in > 1:
+            p = p_in * u
+        elif c_cur < lane_target:
+            p = u
+        sched.append((p_in, p))
+    return tuple(sched)
+
+
+def pack_params(params, cfg: HifiGanConfig, lane_target: int = 128):
+    """Precompute the block-Toeplitz packed kernels (see ops/packed_conv.py)
+    for every stage the schedule packs.  Plain stages pass through, so the
+    result is apply_packed-compatible for any lane_target (including 0 =
+    fully unpacked)."""
+    from ..ops import packed_conv as pc
+
+    sched = pack_schedule(cfg, lane_target)
+    out = {"conv_pre": params["conv_pre"]}
+    ups, resblocks = [], []
+    p_fin = 1
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        p_in, p_stage = sched[i]
+        if p_stage == 1:
+            ups.append(params["ups"][i])
+        else:
+            ups.append(pc.pack_conv_transpose(
+                params["ups"][i], p_in, u, (k - u) // 2))
+        p_fin = p_stage
+        blocks_i = []
+        for j, (k_rb, d_rb) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                             cfg.resblock_dilation_sizes)):
+            blk = params["resblocks"][i][j]
+            if p_stage == 1:
+                blocks_i.append(blk)
+            elif cfg.resblock == "1":
+                blocks_i.append({
+                    "convs1": [pc.pack_conv1d(c, p_stage, d, (k_rb * d - d) // 2)
+                               for c, d in zip(blk["convs1"], d_rb)],
+                    "convs2": [pc.pack_conv1d(c, p_stage, 1, (k_rb - 1) // 2)
+                               for c in blk["convs2"]],
+                })
+            else:
+                blocks_i.append({
+                    "convs": [pc.pack_conv1d(c, p_stage, d, (k_rb * d - d) // 2)
+                              for c, d in zip(blk["convs"], d_rb)],
+                })
+        resblocks.append(blocks_i)
+    out["ups"] = ups
+    out["resblocks"] = resblocks
+    if cfg.use_nsf:
+        out["noise_convs"] = params["noise_convs"]
+        out["m_source"] = params["m_source"]
+    k_post = int(np.asarray(params["conv_post"]["w"]).shape[0])
+    out["conv_post"] = pc.pack_conv1d(params["conv_post"], p_fin, 1,
+                                      (k_post - 1) // 2) \
+        if p_fin > 1 else params["conv_post"]
+    return out
+
+
+def apply_packed(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None,
+                 rng=None, dtype=None, lane_target: int = 128):
+    """Channel-packed twin of :func:`apply` (params from
+    :func:`pack_params` with the same ``lane_target``).  Identical numerics
+    up to matmul accumulation order; see ops/packed_conv.py for why this is
+    several times faster on the MXU for the C<128 tail stages."""
+    from ..ops import packed_conv as pc
+
+    sched = pack_schedule(cfg, lane_target)
+    total_up = int(np.prod(cfg.upsample_rates))
+    har_source = None
+    if cfg.use_nsf and f0 is not None:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        f0_up = upsample_nearest(f0, total_up)
+        har_source, _ = source_module(params["m_source"], rng, f0_up,
+                                      cfg.sampling_rate, cfg.harmonic_num)
+
+    if dtype is not None:
+        params = jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
+        mel = mel.astype(dtype)
+        if har_source is not None:
+            har_source = har_source.astype(dtype)
+
+    x = nn.conv1d(params["conv_pre"], mel, padding=3)
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    p_fin = 1
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        p_in, p_stage = sched[i]
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        if p_stage == 1:
+            x = nn.conv_transpose1d(params["ups"][i], x, stride=u,
+                                    padding=(k - u) // 2)
+        else:
+            x = pc.packed_conv_transpose(params["ups"][i], x, k=k, u=u,
+                                         pad=(k - u) // 2, P_in=p_in)
+        p_fin = p_stage
+        if har_source is not None:
+            ncp = params["noise_convs"][i]
+            k_nc = ncp["w"].shape[0]
+            if k_nc == 1:
+                x_source = nn.conv1d(ncp, har_source)
+            else:
+                stride_f0 = k_nc // 2
+                x_source = nn.conv1d(ncp, har_source, stride=stride_f0,
+                                     padding=stride_f0 // 2)
+            x = x + pc.pack(x_source[:, : x.shape[1] * p_stage], p_stage)
+        xs = 0.0
+        for j, (k_rb, d_rb) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                             cfg.resblock_dilation_sizes)):
+            blk = params["resblocks"][i][j]
+            if p_stage == 1:
+                xs = xs + (_resblock1(blk, x, k_rb, d_rb) if cfg.resblock == "1"
+                           else _resblock2(blk, x, k_rb, d_rb))
+            elif cfg.resblock == "1":
+                xt0 = x
+                for c1, c2, d in zip(blk["convs1"], blk["convs2"], d_rb):
+                    xt = jax.nn.leaky_relu(xt0, LRELU_SLOPE)
+                    xt = pc.packed_conv1d(c1, xt, k=k_rb, dilation=d,
+                                          pad=(k_rb * d - d) // 2, P=p_stage)
+                    xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+                    xt = pc.packed_conv1d(c2, xt, k=k_rb, dilation=1,
+                                          pad=(k_rb - 1) // 2, P=p_stage)
+                    xt0 = xt + xt0
+                xs = xs + xt0
+            else:
+                xt0 = x
+                for c, d in zip(blk["convs"], d_rb):
+                    xt = jax.nn.leaky_relu(xt0, LRELU_SLOPE)
+                    xt = pc.packed_conv1d(c, xt, k=k_rb, dilation=d,
+                                          pad=(k_rb * d - d) // 2, P=p_stage)
+                    xt0 = xt + xt0
+                xs = xs + xt0
+        x = xs / n_kernels
+    x = jax.nn.leaky_relu(x)
+    k_post = 7
+    if p_fin == 1:
+        x = nn.conv1d(params["conv_post"], x, padding=(k_post - 1) // 2)
+        y = x[:, :, 0]
+    else:
+        x = pc.packed_conv1d(params["conv_post"], x, k=k_post, dilation=1,
+                             pad=(k_post - 1) // 2, P=p_fin)
+        y = x.reshape(x.shape[0], x.shape[1] * p_fin)
+    return jnp.tanh(y).astype(jnp.float32)
+
+
+def setup_serving(wrapper, hp):
+    """Attach the serving path to a vocoder wrapper holding .params/.cfg:
+    sets .pack_lanes (0 = plain), .run_params (packed kernels when packing),
+    and jitted ._apply / ._apply_nof0.  On TPU (or ``vocoder_channel_pack:
+    on``) the C<128 tail stages run channel-packed as dense MXU matmuls
+    (ops/packed_conv.py); parity tested in tests/test_packed_conv.py."""
+    wrapper.pack_lanes = int(hp.get("vocoder_pack_lanes", 128) or 0) \
+        if packing_enabled(hp) else 0
+    cfg = wrapper.cfg
+    if wrapper.pack_lanes:
+        lanes = wrapper.pack_lanes
+        wrapper.run_params = pack_params(wrapper.params, cfg, lanes)
+        wrapper._apply = jax.jit(lambda p, m, f0, rng: apply_packed(
+            p, cfg, m, f0, rng, lane_target=lanes))
+        wrapper._apply_nof0 = jax.jit(lambda p, m: apply_packed(
+            p, cfg, m, lane_target=lanes))
+    else:
+        wrapper.run_params = wrapper.params
+        wrapper._apply = jax.jit(
+            lambda p, m, f0, rng: apply(p, cfg, m, f0, rng))
+        wrapper._apply_nof0 = jax.jit(lambda p, m: apply(p, cfg, m))
+
+
 def apply(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None, rng=None,
           dtype=None):
     """mel [B, T, M] (natural-log domain for NSF weights, matching how the

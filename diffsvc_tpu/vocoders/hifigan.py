@@ -85,9 +85,7 @@ class HifiGAN(BaseVocoder):
                 self.params, self.cfg, self.config = load_model(config_path, file_path, use_nsf)
             else:
                 raise FileNotFoundError(f"no vocoder config under {base_dir}")
-        self._apply = jax.jit(
-            lambda p, m, f0, rng: generator.apply(p, self.cfg, m, f0, rng))
-        self._apply_nof0 = jax.jit(lambda p, m: generator.apply(p, self.cfg, m))
+        generator.setup_serving(self, hp)
 
     def spec2wav(self, mel, **kwargs):
         """mel [T, M] log10-mel -> wav [T*hop]."""
@@ -97,9 +95,9 @@ class HifiGAN(BaseVocoder):
         if f0 is not None and self.hp.get("use_nsf"):
             f0 = jnp.asarray(np.asarray(f0, np.float32))[None]
             rng = jax.random.PRNGKey(kwargs.get("seed", 0))
-            y = self._apply(self.params, c, f0, rng)
+            y = self._apply(self.run_params, c, f0, rng)
         else:
-            y = self._apply_nof0(self.params, c)
+            y = self._apply_nof0(self.run_params, c)
         wav_out = np.asarray(y[0])
         if mel.shape[0] != t_real:  # bucketed: trim back to the real length
             wav_out = wav_out[: t_real * int(self.hp["hop_size"])]

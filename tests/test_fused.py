@@ -153,3 +153,29 @@ def test_fused_batched_matches_sequential(fused_model):
                                    np.asarray(ref_f0)[:t_true], atol=1e-3)
         np.testing.assert_allclose(np.asarray(bm),
                                    np.asarray(ref_mel)[:t_true], atol=2e-4)
+
+
+def test_fused_packed_vocoder_matches_plain(fused_model):
+    """Fused graph with a channel-packed vocoder (vocoder_channel_pack path,
+    ops/packed_conv.py) must reproduce the plain fused output."""
+    from diffsvc_tpu.vocoders import generator as gen
+
+    t = np.arange(8000) / 8000
+    wav = (0.4 * np.sin(2 * np.pi * 196 * t)).astype(np.float32)
+    ref_wav, _, ref_mel = fused_model(wav)
+
+    voc = fused_model.vocoder
+    lanes = 32  # pack the tiny test channels (32 -> 16,8,4)
+    packed_voc = SimpleNamespace(
+        cfg=voc.cfg, params=voc.params, pack_lanes=lanes,
+        run_params=gen.pack_params(voc.params, voc.cfg, lanes))
+    fused_packed = FusedSvc(dict(fused_model.hp), fused_model.params,
+                            packed_voc, hubert_params=fused_model.hub_params,
+                            hubert_cfg=fused_model.hub_cfg, speedup=5)
+    # the packed path reads pack_lanes as its lane target
+    fused_packed.vocoder.pack_lanes = lanes
+    got_wav, _, got_mel = fused_packed(wav)
+    np.testing.assert_allclose(np.asarray(got_mel), np.asarray(ref_mel),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_wav), np.asarray(ref_wav),
+                               rtol=1e-4, atol=1e-5)

@@ -82,3 +82,24 @@ def test_nsf_wrapper_param_mismatch_warns(tmp_path, capsys):
     NsfHifiGAN(hp)
     out = capsys.readouterr().out
     assert "Mismatch parameters" in out
+
+
+def test_nsf_wrapper_channel_pack_matches_plain(tmp_path):
+    """vocoder_channel_pack: on -> the wrapper serves the channel-packed
+    path (ops/packed_conv.py); output must match the plain path."""
+    voc_dir = tmp_path / "nsf3"
+    _make_openvpi_ckpt(str(voc_dir))
+    base = dict(
+        vocoder="nsf_hifigan", vocoder_ckpt=str(voc_dir / "model"),
+        audio_sample_rate=8000, audio_num_mel_bins=MEL, fft_size=256,
+        win_size=256, hop_size=8, fmin=30, fmax=4000, use_nsf=True)
+    plain = NsfHifiGAN(HParams(vocoder_channel_pack="off", **base))
+    packed = NsfHifiGAN(HParams(vocoder_channel_pack="on",
+                                vocoder_pack_lanes=16, **base))
+    assert plain.pack_lanes == 0 and packed.pack_lanes == 16
+    mel = np.random.RandomState(1).randn(40, MEL).astype(np.float32) - 4.0
+    f0 = np.full(40, 220.0, np.float32)
+    w0 = plain.spec2wav(mel, f0=f0)
+    w1 = packed.spec2wav(mel, f0=f0)
+    assert w1.shape == w0.shape
+    np.testing.assert_allclose(w1, w0, rtol=1e-4, atol=1e-5)
