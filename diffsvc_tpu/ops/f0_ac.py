@@ -46,18 +46,30 @@ def _praat_frame_grid(n_samples: int, sr: float, dt: float, window_len_s: float)
     return n_frames, t1
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "hop", "n_frames", "win_samples", "fft_size"))
+@functools.partial(jax.jit, static_argnames=("sr", "hop", "n_frames", "win_samples", "fft_size", "start0"))
 def _frame_acf(wav, *, sr: int, hop: int, n_frames: int, win_samples: int,
                fft_size: int, start0: int):
     """Extract midpoint-centred frames and normalized autocorrelation.
 
     Returns (r [n_frames, max_lag+1], local_peak [n_frames]).
     """
-    # Gather frames (centre of frame i = start0 + i*hop in samples).
-    starts = start0 + np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(win_samples)[None, :]
-    valid = (idx >= 0) & (idx < wav.shape[0])
-    frames = jnp.where(valid, wav[jnp.clip(idx, 0, wav.shape[0] - 1)], 0.0)
+    # Frames (centre of frame i = start0 + i*hop in samples), built
+    # gather-free: zero-pad so every frame is in-bounds (zeros outside the
+    # signal, matching the old valid-mask), then reshape into [*, hop]
+    # blocks and concatenate shifted block views (cheap slices on TPU
+    # instead of a multi-million-element gather; see ops/mel.frame_signal).
+    pad_left = max(0, -start0)
+    base = start0 + pad_left
+    q, rem = divmod(win_samples, hop)
+    q_blocks = q + (1 if rem else 0)
+    need = (n_frames - 1 + q_blocks) * hop
+    n_in = int(wav.shape[0])
+    xp = jnp.pad(wav, (pad_left, max(0, base + need - n_in - pad_left)))
+    blocks = xp[base: base + need].reshape(-1, hop)
+    parts = [blocks[k: k + n_frames] for k in range(q)]
+    if rem:
+        parts.append(blocks[q: q + n_frames, :rem])
+    frames = jnp.concatenate(parts, axis=1)
 
     frames = frames - frames.mean(axis=1, keepdims=True)
     local_peak = jnp.abs(frames).max(axis=1)
@@ -138,27 +150,29 @@ def _find_candidates(r, local_peak, global_peak, sr, f0_min, f0_max,
     return cand_freq, cand_strength
 
 
+def _trans_cost(f_prev, v_prev, f_cur, v_cur, ojc, vuc):
+    both_voiced = v_prev & v_cur
+    jump = jnp.abs(jnp.log2(jnp.maximum(f_prev, 1e-6) / jnp.maximum(f_cur, 1e-6)))
+    return jnp.where(both_voiced, ojc * jump,
+                     jnp.where(v_prev == v_cur, 0.0, vuc))
+
+
 @jax.jit
-def _viterbi(cand_freq, cand_strength, time_step_correction):
-    """Viterbi over frames; returns best candidate index per frame."""
+def _viterbi_scan(cand_freq, cand_strength, time_step_correction):
+    """Sequential-scan Viterbi (reference implementation for parity tests;
+    :func:`_viterbi` is the parallel version used in production)."""
     n_frames, n_cand = cand_freq.shape
     voiced = cand_freq > 0
 
     ojc = OCTAVE_JUMP_COST * time_step_correction
     vuc = VOICED_UNVOICED_COST * time_step_correction
 
-    def trans_cost(f_prev, v_prev, f_cur, v_cur):
-        both_voiced = v_prev & v_cur
-        jump = jnp.abs(jnp.log2(jnp.maximum(f_prev, 1e-6) / jnp.maximum(f_cur, 1e-6)))
-        cost = jnp.where(both_voiced, ojc * jump,
-                         jnp.where(v_prev == v_cur, 0.0, vuc))
-        return cost
-
     # carry = (score, prev_f, prev_v); emits backpointers per frame.
     def scan_step(carry, inp):
         prev_score, pf, pv = carry
         f, s, v = inp
-        cost = trans_cost(pf[:, None], pv[:, None], f[None, :], v[None, :])
+        cost = _trans_cost(pf[:, None], pv[:, None], f[None, :], v[None, :],
+                           ojc, vuc)
         total = prev_score[:, None] - cost + s[None, :]
         best_prev = jnp.argmax(total, axis=0)
         score = jnp.max(total, axis=0)
@@ -183,8 +197,67 @@ def _viterbi(cand_freq, cand_strength, time_step_correction):
     return path
 
 
+@jax.jit
+def _viterbi(cand_freq, cand_strength, time_step_correction):
+    """Viterbi via max-plus associative scan — O(log T) depth on TPU.
+
+    The sequential DP ``score_t[j] = max_i score_{t-1}[i] - cost(i,j) + s_t[j]``
+    is a max-plus vector-matrix product, and max-plus matrix products are
+    associative, so a :func:`jax.lax.associative_scan` over the per-frame
+    transition matrices ``M_t[i,j] = -cost_t(i,j) + s_t[j]`` yields every
+    frame's forward scores in ~log2(T) parallel levels of batched 15x15
+    max-plus matmuls, instead of T tiny sequential scan steps (which are
+    per-step-latency bound on TPU).  Backtracking composes the per-frame
+    backpointer maps with a second (reverse) associative scan.
+
+    Same optimum as :func:`_viterbi_scan`; path sums are accumulated in a
+    tree order, so exact ties between competing paths may resolve
+    differently at fp32 (parity on real audio is asserted in
+    tests/test_pitch.py).
+    """
+    n_frames, n_cand = cand_freq.shape
+    if n_frames == 1:
+        return jnp.argmax(cand_strength[0])[None]
+    voiced = cand_freq > 0
+
+    ojc = OCTAVE_JUMP_COST * time_step_correction
+    vuc = VOICED_UNVOICED_COST * time_step_correction
+
+    # Per-step transition matrices M_t (t = 1..T-1): [T-1, C, C].
+    cost = _trans_cost(cand_freq[:-1, :, None], voiced[:-1, :, None],
+                       cand_freq[1:, None, :], voiced[1:, None, :], ojc, vuc)
+    m = -cost + cand_strength[1:, None, :]
+
+    def maxplus(a, b):  # (A (x) B)[i,k] = max_j A[i,j] + B[j,k]
+        return jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+    prefix = jax.lax.associative_scan(maxplus, m)          # [T-1, C, C]
+    # forward scores at frames 1..T-1: fold the frame-0 scores in
+    scores = jnp.max(cand_strength[0][None, :, None] + prefix, axis=1)
+    scores_all = jnp.concatenate([cand_strength[:1], scores])   # [T, C]
+
+    # Backpointers, vectorized over t: bp[t-1][j] = best predecessor (at
+    # frame t-1) of candidate j at frame t — identical formula to the
+    # sequential scan step, so tie-breaking (lowest index) matches.
+    bp = jnp.argmax(scores_all[:-1][:, :, None] + m, axis=1)    # [T-1, C]
+
+    # Suffix-compose the backpointer maps: S_t = g_t o g_{t+1} o ... so the
+    # whole path is S_t[last]. With reverse=True the combine receives the
+    # HIGHER-index operand first, so the map composition must be
+    # (a, b) -> b o a, i.e. x -> b[a[x]] (associative: both groupings give
+    # c o b o a).
+    def compose(a, b):
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    suffix = jax.lax.associative_scan(compose, bp, reverse=True)
+    last = jnp.argmax(scores_all[-1])
+    path = jnp.concatenate([suffix[:, last], last[None]])
+    return path
+
+
 @functools.partial(jax.jit, static_argnames=("sr", "hop", "n_frames",
-                                              "win_samples", "fft_size"))
+                                              "win_samples", "fft_size",
+                                              "start0"))
 def _track(wav, *, sr, hop, n_frames, win_samples, fft_size, start0,
            f0_min, f0_max, voicing_threshold, tsc):
     """Full tracker in ONE device dispatch: ACF -> candidates -> Viterbi ->

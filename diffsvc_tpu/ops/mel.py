@@ -97,8 +97,20 @@ def _use_dft_matmul() -> bool:
 
 
 def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """Frame a padded 1-D signal into [n_frames, n_fft] (no further padding)."""
+    """Frame a padded 1-D signal into [n_frames, n_fft] (no further padding).
+
+    When hop divides n_fft (every shipped profile: 2048/512, 512/128) the
+    frames are built gather-free — reshape into [*, hop] blocks and
+    concatenate q = n_fft/hop shifted block views — which XLA lowers to
+    cheap slices instead of a multi-million-element gather (the same trick
+    as ops/resample.py's windows)."""
     n_frames = 1 + (y.shape[-1] - n_fft) // hop
+    q, rem = divmod(n_fft, hop)
+    if rem == 0:
+        need = (n_frames - 1 + q) * hop
+        blocks = y[:need].reshape(-1, hop)
+        return jnp.concatenate([blocks[k: k + n_frames] for k in range(q)],
+                               axis=1)
     idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
     return y[idx]
 

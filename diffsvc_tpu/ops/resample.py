@@ -82,6 +82,9 @@ def resample_poly_device(x, orig_sr: int, target_sr: int):
     """
     if orig_sr == target_sr:
         return jnp.asarray(x, jnp.float32)
+    if getattr(x, "ndim", 1) != 1:
+        raise ValueError(f"resample_poly_device expects 1-D wav, got shape "
+                         f"{x.shape}; vmap for batches")
     n_in = int(x.shape[0])
     n_out = resample_length(n_in, orig_sr, target_sr)
     g, offset, l_w, up, down = _block_design(int(orig_sr), int(target_sr))

@@ -167,3 +167,28 @@ def test_ac_viterbi_backtrack_alignment():
 
     got = np.asarray(_viterbi(jnp.asarray(freq), jnp.asarray(strength), tsc))
     np.testing.assert_array_equal(got, np.asarray(best_path))
+
+
+def test_ac_viterbi_parallel_matches_sequential_scan():
+    """The production associative-scan Viterbi (max-plus prefix products +
+    composed backpointer maps) must decode the same path as the sequential
+    lax.scan DP on realistic-size lattices, including the length-1 and
+    length-2 edges."""
+    import jax.numpy as jnp
+
+    from diffsvc_tpu.ops.f0_ac import _viterbi, _viterbi_scan
+
+    rng = np.random.RandomState(11)
+    for T in (1, 2, 3, 64, 860):
+        freq = np.where(rng.rand(T, 15) < 0.3, 0.0,
+                        rng.uniform(60, 900, (T, 15))).astype(np.float32)
+        freq[:, 0] = 0.0
+        strength = rng.randn(T, 15).astype(np.float32)
+        par = np.asarray(_viterbi(jnp.asarray(freq), jnp.asarray(strength),
+                                  0.86))
+        if T == 1:
+            np.testing.assert_array_equal(par, [int(np.argmax(strength[0]))])
+            continue
+        seq = np.asarray(_viterbi_scan(jnp.asarray(freq),
+                                       jnp.asarray(strength), 0.86))
+        np.testing.assert_array_equal(par, seq)

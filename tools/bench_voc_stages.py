@@ -25,6 +25,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--secs", type=float, default=10.0)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
     args = ap.parse_args()
 
     import jax
@@ -49,6 +50,11 @@ def main():
     params = gen.init(jax.random.PRNGKey(0), cfg)
     packed = gen.pack_params(params, cfg, 128)
     sched = gen.pack_schedule(cfg, 128)
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    log(f"| dtype: {args.dtype}")
+    cast = lambda tree: jax.tree.map(
+        lambda a: a.astype(dt) if getattr(a, "dtype", None) == jnp.float32 else a, tree)
+    params, packed = cast(params), cast(packed)
 
     def timeit(name, fn, *xs):
         f = jax.jit(fn)
@@ -59,11 +65,14 @@ def main():
             np.asarray(jax.tree.leaves(o)[0].ravel()[:4])
 
         sync(f(*xs))
+        K = 8  # amortize the ~30 ms tunnel round-trip: K async calls, 1 sync
         ts = []
         for _ in range(args.runs):
             t0 = time.time()
-            sync(f(*xs))
-            ts.append(time.time() - t0)
+            for _ in range(K):
+                o = f(*xs)
+            sync(o)
+            ts.append((time.time() - t0) / K)
         log(f"| {name:46s} {min(ts)*1e3:7.1f} ms")
         return min(ts)
 
@@ -72,7 +81,7 @@ def main():
 
     # --- NSF source alone ---
     L = T0 * int(np.prod(cfg.upsample_rates))
-    f0 = jnp.asarray(np.abs(rng.randn(1, T0)) * 80 + 180, jnp.float32)
+    f0 = jnp.asarray(np.abs(rng.randn(1, T0)) * 80 + 180, jnp.float32).astype(dt)
     timeit("upsample_nearest f0", lambda f: gen.upsample_nearest(f, 512), f0)
     f0_up = gen.upsample_nearest(f0, 512)
     timeit("source_module (sine_gen + linear)",
@@ -88,7 +97,7 @@ def main():
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         c_cur = gen._stage_channels(cfg, i)
         p_in, p_stage = sched[i]
-        x = jnp.asarray(rng.randn(1, t_len, c_prev) * 0.1, jnp.float32)
+        x = jnp.asarray(rng.randn(1, t_len, c_prev) * 0.1, jnp.float32).astype(dt)
         tp = timeit(f"stage{i} ConvT {c_prev}->{c_cur} u{u} plain",
                     lambda p, xx: nn.conv_transpose1d(p, xx, stride=u,
                                                       padding=(k - u) // 2),
@@ -105,7 +114,7 @@ def main():
         total_packed += tq
 
         t_len *= u
-        y = jnp.asarray(rng.randn(1, t_len, c_cur) * 0.1, jnp.float32)
+        y = jnp.asarray(rng.randn(1, t_len, c_cur) * 0.1, jnp.float32).astype(dt)
 
         def resblocks_plain(blks, xx):
             xs = 0.0
@@ -146,7 +155,7 @@ def main():
         c_prev = c_cur
 
     # --- conv_post ---
-    y = jnp.asarray(rng.randn(1, t_len, c_prev) * 0.1, jnp.float32)
+    y = jnp.asarray(rng.randn(1, t_len, c_prev) * 0.1, jnp.float32).astype(dt)
     tp = timeit("conv_post + tanh plain",
                 lambda p, xx: jnp.tanh(nn.conv1d(p, xx, padding=3)),
                 params["conv_post"], y)
