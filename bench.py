@@ -158,34 +158,24 @@ def main():
     frames_per_sec = best["T"] * (hp["K_step"] // SPEEDUP) / best["diffusion"]
     log(f"| denoise mel-frames/sec (x{hp['K_step'] // SPEEDUP} NFE): {frames_per_sec:.0f}")
 
-    # MFU of the sampling loop. XLA cost_analysis counts a lax.scan body
-    # ONCE (trip count not multiplied), so cost the single denoiser step and
-    # scale by NFE; the conditioner projections are hoisted out of the scan
-    # in the real sampler (hoist_cond=True), so their per-step share is
-    # counted once, not NFE times. Peak: v5e bf16/fp32-acc single-pass MXU
-    # 197 TFLOP/s (v4: 275).
-    try:
-        NFE = hp["K_step"] // SPEEDUP
-        pad_T = last_batch["f0"].shape[1]
-        step_fn = jax.jit(lambda p, x, tb, c: model._dec.apply(
-            p["denoise_fn"], model.net_cfg, x, tb, c))
-        x_ex = jnp.zeros((1, pad_T, NMEL), jnp.float32)
-        tb_ex = jnp.zeros((1,), jnp.int32)
-        c_ex = jnp.zeros((1, pad_T, hp["hidden_size"]), jnp.float32)
-        cost = step_fn.lower(params, x_ex, tb_ex, c_ex).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_step = float(cost.get("flops", 0.0))
-        cond_flops = 2.0 * hp["residual_layers"] * hp["hidden_size"] \
-            * 2 * hp["residual_channels"] * pad_T
-        flops = (flops_step - cond_flops) * NFE + cond_flops
-        kind = str(getattr(dev, "device_kind", dev)).lower()
-        peak = 275e12 if "v4" in kind else 197e12
-        mfu = flops / best["diffusion"] / peak
-        log(f"| sampling-loop FLOPs: {flops/1e12:.2f} TFLOP over {NFE} NFE, "
-            f"MFU {100*mfu:.1f}% of {peak/1e12:.0f} TFLOP/s peak")
-    except Exception as e:  # cost_analysis availability varies by backend
-        log(f"| MFU unavailable: {e}")
+    # MFU of the sampling loop, from analytic matmul FLOPs (XLA
+    # cost_analysis undercounts the scan body). Per NFE: input 1x1 +
+    # L x (k=3 dilated conv to 2C + 1x1 out to 2C) + skip/output 1x1;
+    # the hoisted conditioner projections are counted ONCE. Peak: v5e
+    # bf16/fp32-acc single-pass MXU 197 TFLOP/s (v4: 275).
+    NFE = hp["K_step"] // SPEEDUP
+    pad_T = last_batch["f0"].shape[1]
+    C, H, M, L = (hp["residual_channels"], hp["hidden_size"], NMEL,
+                  hp["residual_layers"])
+    per_step = 2 * pad_T * (M * C + L * (3 + 1) * C * 2 * C + C * C + C * M)
+    cond_once = 2 * pad_T * L * H * 2 * C
+    flops = per_step * NFE + cond_once
+    kind = str(getattr(dev, "device_kind", dev)).lower()
+    peak = 275e12 if "v4" in kind else 197e12
+    mfu = flops / best["diffusion"] / peak
+    log(f"| sampling-loop FLOPs: {flops/1e12:.2f} TFLOP over {NFE} NFE, "
+        f"MFU {100*mfu:.1f}% of {peak/1e12:.0f} TFLOP/s peak "
+        f"(modular-path timing incl dispatch)")
     log(f"| modular end-to-end RTF: {rtf_modular:.4f}")
 
     # ---- fused single-dispatch graph (the serving path) ----

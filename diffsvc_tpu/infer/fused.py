@@ -98,7 +98,7 @@ class FusedSvc:
         self._fns = {}
 
     # ------------------------------------------------------------------
-    def _build(self, n44: int):
+    def _build(self, n44: int, model=None):
         from ..ops.resample import resample_length, resample_poly_device
 
         n16 = resample_length(n44, self.hp["audio_sample_rate"], 16000)
@@ -108,7 +108,7 @@ class FusedSvc:
         nfft = hp["fft_size"]
         nmel = hp["audio_num_mel_bins"]
         is_nsf = "nsf" in str(hp.get("vocoder", "")).lower()
-        model = self.model
+        model = model if model is not None else self.model
         voc = self.vocoder
         speedup = self.speedup
 
@@ -241,7 +241,14 @@ class FusedSvc:
         throughput headroom without touching the graph."""
         key = ("batched", n44)
         if key not in self._fns:
-            fused = self._build(n44)
+            from ..models.diffusion import GaussianDiffusion
+
+            # the Pallas residual-stack kernel carries VMEM state across a
+            # layer grid and is not vmap-safe; the batched graph uses the
+            # XLA scan denoiser
+            hp_b = dict(self.hp)
+            hp_b["diffnet_pallas"] = "off"
+            fused = self._build(n44, model=GaussianDiffusion(hp_b))
             self._fns[key] = jax.jit(jax.vmap(
                 fused, in_axes=(None, None, None, 0, 0, 0, None)))
         return self._fns[key]

@@ -31,6 +31,7 @@ class DiffNetConfig(NamedTuple):
     residual_channels: int = 256
     dilation_cycle_length: int = 4
     remat: bool = False         # rematerialize each dilation cycle in bwd
+    pallas_stack: str = "auto"  # auto (TPU inference) | on | off | interpret
 
     @classmethod
     def from_hparams(cls, hp):
@@ -41,6 +42,7 @@ class DiffNetConfig(NamedTuple):
             residual_channels=hp["residual_channels"],
             dilation_cycle_length=hp["dilation_cycle_length"],
             remat=bool(hp.get("use_remat", False)),
+            pallas_stack=str(hp.get("diffnet_pallas", "auto")),
         )
 
 
@@ -98,7 +100,7 @@ def prepare_cond(params, cond):
 
 
 def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
-          cond_proj=None):
+          cond_proj=None, inference: bool = False):
     """Predict noise.
 
     :param spec: [B, T, M] noisy mel (channels-last; callers using the
@@ -125,6 +127,37 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
     if cond_proj is None:
         cond_proj = prepare_cond(params, cond)
     cond_proj = cond_proj.astype(x.dtype)
+
+    # --- fused Pallas residual stack (ops/pallas/diffnet_stack.py): the
+    # whole 20-layer stack in one kernel, activations resident in VMEM,
+    # per-layer weights streamed. Used for single-stream TPU inference;
+    # training/backward and unaligned shapes fall through to the scan.
+    # (inference-only: pallas_call has no autodiff rule, so training keeps
+    # the differentiable lax.scan below)
+    mode = cfg.pallas_stack
+    b, t_len, _ = spec.shape
+    if inference and mode in ("auto", "on", "interpret"):
+        from ..ops.pallas import diffnet_stack as _stack
+
+        want = mode != "auto" or jax.default_backend() == "tpu"
+        # interpret mode (CPU tests) computes faithfully at any dtype; the
+        # real Mosaic lowering is gated to bf16 (see diffnet_stack.supported)
+        esz = 2 if mode == "interpret" else x.dtype.itemsize
+        if want and _stack.supported(n_layers, cycle, t_len, c, b, esize=esz):
+            dp = params["layers"]["diffusion_projection"]
+            step_bias = (jnp.einsum("bc,lcd->lbd", step, dp["w"])
+                         + dp["b"][:, None, :])[:, 0].astype(x.dtype)
+            skip_sum = _stack.residual_stack(
+                x[0], step_bias, cond_proj[:, 0],
+                params["layers"]["dilated_conv"]["w"],
+                params["layers"]["dilated_conv"]["b"],
+                params["layers"]["output_projection"]["w"][:, 0],
+                params["layers"]["output_projection"]["b"],
+                cycle=cycle, interpret=(mode == "interpret"))
+            x = (skip_sum[None] * (1.0 / math.sqrt(n_layers))).astype(x.dtype)
+            x = nn.conv1d(params["skip_projection"], x)
+            x = jax.nn.relu(x)
+            return nn.conv1d(params["output_projection"], x)
 
     # Reshape stacked layer params into [n_cycles, cycle, ...] and scan cycles.
     def _regroup(a):

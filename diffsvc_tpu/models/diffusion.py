@@ -327,7 +327,11 @@ class GaussianDiffusion:
         return {"fs2": fs2.init(k1, self.fs2_cfg),
                 "denoise_fn": self._dec.init(k2, self.net_cfg)}
 
-    def _denoise_closure(self, params, cond, hoist_cond: bool = False):
+    def _denoise_closure(self, params, cond, hoist_cond: bool = False,
+                         inference: bool = False):
+        # ``inference=True`` (samplers only) lets the wavenet decoder take
+        # the Pallas residual-stack kernel; training keeps the
+        # differentiable scan and non-wavenet decoders ignore the flag.
         # optional reduced-precision sampling: the denoiser runs in bf16
         # (MXU-native), the PLMS/DDPM update math stays float32
         dtype = jnp.bfloat16 if str(self.hp.get("diff_compute_dtype", "")) in (
@@ -345,12 +349,21 @@ class GaussianDiffusion:
 
             def fn(x, t):
                 out = self._dec.apply(dn_params, self.net_cfg,
-                                      x.astype(dtype), t, cond_proj=cond_proj)
+                                      x.astype(dtype), t, cond_proj=cond_proj,
+                                      inference=inference)
                 return out.astype(jnp.float32)
             return fn
 
         dn_params = cast(params["denoise_fn"])
         cond_c = cast(cond)
+
+        if self.decoder_type == "wavenet":
+            def fn(x, t):
+                out = self._dec.apply(dn_params, self.net_cfg,
+                                      x.astype(dtype), t, cond_c,
+                                      inference=inference)
+                return out.astype(jnp.float32)
+            return fn
 
         def fn(x, t):
             out = self._dec.apply(dn_params, self.net_cfg, x.astype(dtype), t,
@@ -396,7 +409,8 @@ class GaussianDiffusion:
                         batch.get("energy"), batch.get("spk_embed"))
         cond = ret["decoder_inp"]
         b, t_mel, _ = cond.shape
-        denoise_fn = self._denoise_closure(params, cond, hoist_cond=True)
+        denoise_fn = self._denoise_closure(params, cond, hoist_cond=True,
+                                           inference=True)
         noise_rng, samp_rng = jax.random.split(rng)
 
         if use_gt_mel:
