@@ -55,36 +55,52 @@ class HifiGanConfig(NamedTuple):
 # NSF source
 # ---------------------------------------------------------------------------
 
-def sine_gen(rng, f0_up: jnp.ndarray, sr: int, harmonic_num: int = 8,
-             sine_amp: float = 0.1, noise_std: float = 0.003,
-             voiced_threshold: float = 0.0):
-    """Harmonic sine source from sample-rate f0 [B, L].
+def sine_gen_ht(rng, f0_up: jnp.ndarray, sr: int, harmonic_num: int = 8,
+                sine_amp: float = 0.1, noise_std: float = 0.003,
+                voiced_threshold: float = 0.0):
+    """Harmonic sine source from sample-rate f0 [B, L], in [B, H, L] layout.
 
-    Returns (sine_waves [B, L, H+1], uv [B, L, 1]). Phase is the cumulative
-    sum of per-sample instantaneous frequency with the reference's mod-1
-    overflow correction (models.py:183-213).
+    Phase is the cumulative sum of per-sample instantaneous frequency with
+    the reference's mod-1 overflow correction (models.py:183-213).
+
+    Internal layout [B, H, L] keeps L in the lane dimension so every vector
+    op (two cumsums, sin, threefry noise) runs on full 128-lane tiles — the
+    reference layout [B, L, H=9] would use 9/128 lanes. Math, scan order
+    and per-element noise statistics are unchanged; :func:`sine_gen`
+    transposes back for the reference-layout API.
     """
     h = harmonic_num + 1
-    f0 = f0_up[:, :, None] * (jnp.arange(1, h + 1, dtype=f0_up.dtype)[None, None, :])
+    f0 = f0_up[:, None, :] * (jnp.arange(1, h + 1, dtype=f0_up.dtype)[None, :, None])
     rad = (f0 / sr) % 1.0
 
     k1, k2 = jax.random.split(rng)
     rand_ini = jax.random.uniform(k1, (f0.shape[0], h), dtype=f0.dtype)
     rand_ini = rand_ini.at[:, 0].set(0.0)
-    rad = rad.at[:, 0, :].add(rand_ini)
+    # first-sample phase offset as a masked add (a lane-0 scatter costs a
+    # full relayout pass on TPU)
+    lane0 = (jnp.arange(rad.shape[2]) == 0).astype(rad.dtype)
+    rad = rad + rand_ini[:, :, None] * lane0[None, None, :]
 
-    tmp_over_one = jnp.cumsum(rad, axis=1) % 1.0
-    wrap = (tmp_over_one[:, 1:, :] - tmp_over_one[:, :-1, :]) < 0
+    tmp_over_one = jnp.cumsum(rad, axis=2) % 1.0
+    wrap = (tmp_over_one[:, :, 1:] - tmp_over_one[:, :, :-1]) < 0
     shift = jnp.concatenate(
-        [jnp.zeros_like(rad[:, :1, :]), jnp.where(wrap, -1.0, 0.0)], axis=1)
-    phase = jnp.cumsum(rad + shift, axis=1)
+        [jnp.zeros_like(rad[:, :, :1]), jnp.where(wrap, -1.0, 0.0)], axis=2)
+    phase = jnp.cumsum(rad + shift, axis=2)
     sines = jnp.sin(2.0 * jnp.pi * phase) * sine_amp
 
-    uv = (f0_up[:, :, None] > voiced_threshold).astype(f0.dtype)
-    noise_amp = uv * noise_std + (1.0 - uv) * sine_amp / 3.0
+    uv_ht = (f0_up[:, None, :] > voiced_threshold).astype(f0.dtype)
+    noise_amp = uv_ht * noise_std + (1.0 - uv_ht) * sine_amp / 3.0
     noise = noise_amp * jax.random.normal(k2, sines.shape, sines.dtype)
-    sines = sines * uv + noise
-    return sines, uv
+    return sines * uv_ht + noise, uv_ht
+
+
+def sine_gen(rng, f0_up: jnp.ndarray, sr: int, harmonic_num: int = 8,
+             sine_amp: float = 0.1, noise_std: float = 0.003,
+             voiced_threshold: float = 0.0):
+    """Reference-layout API: (sine_waves [B, L, H+1], uv [B, L, 1])."""
+    sines, uv_ht = sine_gen_ht(rng, f0_up, sr, harmonic_num, sine_amp,
+                               noise_std, voiced_threshold)
+    return sines.transpose(0, 2, 1), uv_ht.transpose(0, 2, 1)
 
 
 def init_source_module(key, harmonic_num: int = 8):
@@ -92,9 +108,16 @@ def init_source_module(key, harmonic_num: int = 8):
 
 
 def source_module(p, rng, f0_up, sr: int, harmonic_num: int = 8):
-    """SourceModuleHnNSF: merge harmonics -> tanh(linear) [B, L, 1]."""
-    sines, uv = sine_gen(rng, f0_up, sr, harmonic_num)
-    return jnp.tanh(nn.linear(p["l_linear"], sines)), uv
+    """SourceModuleHnNSF: merge harmonics -> tanh(linear) [B, L, 1].
+
+    The harmonic merge contracts H directly from the [B, H, L] source
+    layout (no 16 MB transpose of the sine bank; the weighted sum over 9
+    harmonics is a lane-parallel reduction)."""
+    sines_ht, uv_ht = sine_gen_ht(rng, f0_up, sr, harmonic_num)
+    w = p["l_linear"]["w"][:, 0]   # [H+1]
+    har = jnp.tanh(jnp.einsum("bhl,h->bl", sines_ht, w)
+                   + p["l_linear"]["b"][0])
+    return har[:, :, None], uv_ht.transpose(0, 2, 1)
 
 
 def upsample_nearest(x: jnp.ndarray, factor: int) -> jnp.ndarray:
