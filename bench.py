@@ -198,7 +198,7 @@ def main():
     _sync(fused(wav))
     log(f"| fused warmup {time.time() - t0:.1f}s")
     fused_times = []
-    for i in range(5):
+    for i in range(8):  # min-of-8: the shared tunnel's load varies 1.5-2x
         t0 = time.time()
         _sync(fused(wav, rng=jax.random.PRNGKey(100 + i)))
         fused_times.append(time.time() - t0)
@@ -214,7 +214,7 @@ def main():
                           hubert_cfg=hub_cfg, speedup=SPEEDUP)
     _sync(fused_bf16(wav))
     bf16_times = []
-    for i in range(5):
+    for i in range(8):
         t0 = time.time()
         _sync(fused_bf16(wav, rng=jax.random.PRNGKey(200 + i)))
         bf16_times.append(time.time() - t0)
@@ -234,7 +234,7 @@ def main():
                          hubert_cfg=hub_cfg, speedup=SPEEDUP)
     _sync(fused_mix(wav))
     mix_times = []
-    for i in range(5):
+    for i in range(8):
         t0 = time.time()
         _sync(fused_mix(wav, rng=jax.random.PRNGKey(300 + i)))
         mix_times.append(time.time() - t0)
