@@ -143,3 +143,56 @@ def packed_conv_transpose(pp: dict, x: jnp.ndarray, *, k: int, u: int,
     returns (P_in*u)-packed output with the same block count."""
     m_min, m_max = convt_span(k, u, pad, P_in)
     return nn.conv1d(pp, x, padding=[(-m_min, m_max)])
+
+
+# ---------------------------------------------------------------------------
+# strided downsampling conv from a 1-channel signal (the NSF noise_convs):
+# out[t, c] = sum_j x[t*s + j - pad] w[j, c].  Packing P outputs per block
+# consumes input in blocks of D = P*s, so the packed op is again a stride-1
+# conv — x_source lands DIRECTLY in the P-packed layout (the unpacked
+# [T_i, C<128] intermediate plus its pack() relayout never materialize).
+# ---------------------------------------------------------------------------
+
+def _strided_entries(k: int, s: int, pad: int, P: int) -> Iterator[
+        Tuple[int, int, int, int]]:
+    """(block offset m, input slot r, tap j, output phase p)."""
+    d = P * s
+    for p in range(P):
+        for j in range(k):
+            q = p * s + j - pad
+            yield q // d, q % d, j, p
+
+
+def strided_span(k: int, s: int, pad: int, P: int) -> Tuple[int, int]:
+    ms = [e[0] for e in _strided_entries(k, s, pad, P)]
+    return min(ms), max(ms)
+
+
+def pack_strided_conv(p: dict, P: int, s: int) -> dict:
+    """Precompute packed params for the NSF noise conv
+    ``nn.conv1d(p, har, stride=s, padding=s//2)`` (k = 2s) or the k == 1
+    variant ``nn.conv1d(p, har)``; p["w"] is [k, 1, C]."""
+    w = np.asarray(p["w"])
+    k, _, c = w.shape
+    pad = s // 2 if k > 1 else 0
+    d = P * s
+    m_min, m_max = strided_span(k, s, pad, P)
+    wb = np.zeros((m_max - m_min + 1, d, P * c), w.dtype)
+    for m, r, j, pp in _strided_entries(k, s, pad, P):
+        wb[m - m_min, r, pp * c:(pp + 1) * c] += w[j, 0]
+    out = {"w": jnp.asarray(wb)}
+    if "b" in p:
+        out["b"] = jnp.asarray(np.tile(np.asarray(p["b"]), P))
+    return out
+
+
+def packed_strided_conv(pp: dict, har: jnp.ndarray, *, k: int, s: int,
+                        P: int) -> jnp.ndarray:
+    """Apply :func:`pack_strided_conv` params to har [B, L, 1]; returns the
+    P-packed x_source [B, L/(P*s), P*C]."""
+    pad = s // 2 if k > 1 else 0
+    m_min, m_max = strided_span(k, s, pad, P)
+    b, L, _ = har.shape
+    d = P * s
+    hb = har[:, : (L // d) * d, 0].reshape(b, L // d, d)
+    return nn.conv1d(pp, hb, padding=[(-m_min, m_max)])

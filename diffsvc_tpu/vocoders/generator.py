@@ -270,6 +270,18 @@ def pack_params(params, cfg: HifiGanConfig, lane_target: int = 128):
     out["resblocks"] = resblocks
     if cfg.use_nsf:
         out["noise_convs"] = params["noise_convs"]
+        # packed stages also get a strided-packed twin so x_source lands
+        # directly in the packed layout (no low-lane intermediate + pack)
+        ncp_packed = []
+        for i, (_, p_stage) in enumerate(sched):
+            if p_stage == 1:
+                ncp_packed.append(None)
+            else:
+                ncp = params["noise_convs"][i]
+                k_nc = int(np.asarray(ncp["w"]).shape[0])
+                s_nc = k_nc // 2 if k_nc > 1 else 1
+                ncp_packed.append(pc.pack_strided_conv(ncp, p_stage, s_nc))
+        out["noise_convs_packed"] = ncp_packed
         out["m_source"] = params["m_source"]
     k_post = int(np.asarray(params["conv_post"]["w"]).shape[0])
     out["conv_post"] = pc.pack_conv1d(params["conv_post"], p_fin, 1,
@@ -317,15 +329,22 @@ def apply_packed(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None,
                                          pad=(k - u) // 2, P_in=p_in)
         p_fin = p_stage
         if har_source is not None:
-            ncp = params["noise_convs"][i]
-            k_nc = ncp["w"].shape[0]
-            if k_nc == 1:
-                x_source = nn.conv1d(ncp, har_source)
+            k_nc = params["noise_convs"][i]["w"].shape[0]
+            if p_stage > 1:
+                s_nc = k_nc // 2 if k_nc > 1 else 1
+                x_source = pc.packed_strided_conv(
+                    params["noise_convs_packed"][i], har_source,
+                    k=k_nc, s=s_nc, P=p_stage)
+                x = x + x_source[:, : x.shape[1]]
             else:
-                stride_f0 = k_nc // 2
-                x_source = nn.conv1d(ncp, har_source, stride=stride_f0,
-                                     padding=stride_f0 // 2)
-            x = x + pc.pack(x_source[:, : x.shape[1] * p_stage], p_stage)
+                ncp = params["noise_convs"][i]
+                if k_nc == 1:
+                    x_source = nn.conv1d(ncp, har_source)
+                else:
+                    stride_f0 = k_nc // 2
+                    x_source = nn.conv1d(ncp, har_source, stride=stride_f0,
+                                         padding=stride_f0 // 2)
+                x = x + x_source[:, : x.shape[1]]
         xs = 0.0
         for j, (k_rb, d_rb) in enumerate(zip(cfg.resblock_kernel_sizes,
                                              cfg.resblock_dilation_sizes)):

@@ -145,3 +145,29 @@ def test_apply_packed_bf16_close_to_plain_bf16():
                            lane_target=16)
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.05)
+
+
+def test_packed_strided_conv_matches_plain():
+    """pack_strided_conv: the NSF noise-conv downsample (k=2s, pad=s//2 and
+    the k=1 variant) applied in packed layout must equal conv -> pack."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffsvc_tpu.models import nn
+    from diffsvc_tpu.ops import packed_conv as pc
+
+    rng = np.random.RandomState(5)
+    for s, P, C in [(4, 2, 64), (2, 4, 32), (1, 8, 16), (8, 2, 32)]:
+        k = 2 * s if s > 1 else 1
+        L = 64 * P * s
+        har = jnp.asarray(rng.randn(2, L, 1).astype(np.float32))
+        p = nn.init_conv1d(jax.random.PRNGKey(0), k, 1, C)
+        if k == 1:
+            ref = nn.conv1d(p, har)
+        else:
+            ref = nn.conv1d(p, har, stride=s, padding=s // 2)
+        ref_packed = pc.pack(ref, P)
+        pp = pc.pack_strided_conv(p, P, s)
+        got = pc.packed_strided_conv(pp, har, k=k, s=s, P=P)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref_packed),
+                                   rtol=1e-5, atol=1e-5)
