@@ -226,7 +226,6 @@ def main():
     # fp32 beats both plain fp32 and plain bf16; packed bf16 regresses)
     hp_mix = dict(hp)
     hp_mix["voc_compute_dtype"] = ""
-    hp_mix["vocoder_channel_pack"] = "on"
     voc_packed = SimpleNamespace(
         params=voc_params, cfg=voc_cfg, pack_lanes=128,
         run_params=gen.pack_params(voc_params, voc_cfg, 128))

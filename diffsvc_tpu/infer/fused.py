@@ -229,6 +229,17 @@ class FusedSvc:
 
         return fused
 
+    def _voc_run_params(self):
+        voc = self.vocoder
+        if getattr(voc, "pack_lanes", 0):
+            if not hasattr(voc, "run_params"):
+                raise AttributeError(
+                    "vocoder wrapper sets pack_lanes but has no run_params; "
+                    "build them with generator.pack_params(params, cfg, "
+                    "pack_lanes) or use generator.setup_serving")
+            return voc.run_params
+        return voc.params
+
     def _get_fn(self, n44: int):
         if n44 not in self._fns:
             self._fns[n44] = jax.jit(self._build(n44))
@@ -264,8 +275,7 @@ class FusedSvc:
             wav44 = np.pad(wav44, (0, n44 - len(wav44)))
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         wav_o, f0_o, mel_o = self._get_fn(n44)(
-            self.params, self.hub_params,
-            getattr(self.vocoder, "run_params", self.vocoder.params),
+            self.params, self.hub_params, self._voc_run_params(),
             jnp.asarray(wav44, jnp.float32), rng,
             jnp.float32(key_shift), jnp.int32(spk_id))
         if n44 != true_n44:
@@ -303,8 +313,7 @@ class FusedSvc:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rngs = jax.random.split(rng, n)
         wav_o, f0_o, mel_o = self._get_batched_fn(n44)(
-            self.params, self.hub_params,
-            getattr(self.vocoder, "run_params", self.vocoder.params),
+            self.params, self.hub_params, self._voc_run_params(),
             jnp.asarray(stacked), rngs,
             jnp.asarray(np.asarray(key_shifts, np.float32)),
             jnp.int32(spk_id))

@@ -31,7 +31,7 @@ class DiffNetConfig(NamedTuple):
     residual_channels: int = 256
     dilation_cycle_length: int = 4
     remat: bool = False         # rematerialize each dilation cycle in bwd
-    pallas_stack: str = "auto"  # auto (TPU inference) | on | off | interpret
+    pallas_stack: str = "auto"  # auto/on (TPU bf16 inference) | off | interpret (CPU tests)
 
     @classmethod
     def from_hparams(cls, hp):
@@ -139,9 +139,11 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
     if inference and mode in ("auto", "on", "interpret"):
         from ..ops.pallas import diffnet_stack as _stack
 
-        want = mode != "auto" or jax.default_backend() == "tpu"
-        # interpret mode (CPU tests) computes faithfully at any dtype; the
-        # real Mosaic lowering is gated to bf16 (see diffnet_stack.supported)
+        # real Mosaic lowering exists only on TPU — 'on' off-TPU falls back
+        # to the scan rather than crashing; 'interpret' forces the (slow)
+        # interpreter anywhere. fp32 always keeps the XLA scan (Mosaic f32
+        # dots are single-pass bf16; see diffnet_stack.supported).
+        want = mode == "interpret" or jax.default_backend() == "tpu"
         esz = 2 if mode == "interpret" else x.dtype.itemsize
         if want and _stack.supported(n_layers, cycle, t_len, c, b, esize=esz):
             dp = params["layers"]["diffusion_projection"]

@@ -1,4 +1,8 @@
-"""Pallas TPU kernel: fused DiffNet gated residual block.
+"""Pallas TPU kernel: fused DiffNet gated residual block (single layer).
+
+SUPERSEDED for production by ops/pallas/diffnet_stack.py (the cross-layer
+weight-streaming kernel this file's closing note anticipated); kept as the
+correctness-tested single-layer form.
 
 One kernel per layer computes, with x resident in VMEM:
 

@@ -284,9 +284,14 @@ def pack_params(params, cfg: HifiGanConfig, lane_target: int = 128):
         out["noise_convs_packed"] = ncp_packed
         out["m_source"] = params["m_source"]
     k_post = int(np.asarray(params["conv_post"]["w"]).shape[0])
-    out["conv_post"] = pc.pack_conv1d(params["conv_post"], p_fin, 1,
-                                      (k_post - 1) // 2) \
-        if p_fin > 1 else params["conv_post"]
+    if p_fin > 1:
+        out["conv_post"] = pc.pack_conv1d(params["conv_post"], p_fin, 1,
+                                          (k_post - 1) // 2)
+        # keep the unpacked kernel too: apply_packed reads the true k_post
+        # from its (static) shape instead of assuming the v1 default of 7
+        out["conv_post_plain"] = params["conv_post"]
+    else:
+        out["conv_post"] = params["conv_post"]
     return out
 
 
@@ -373,11 +378,12 @@ def apply_packed(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None,
                 xs = xs + xt0
         x = xs / n_kernels
     x = jax.nn.leaky_relu(x)
-    k_post = 7
     if p_fin == 1:
+        k_post = params["conv_post"]["w"].shape[0]
         x = nn.conv1d(params["conv_post"], x, padding=(k_post - 1) // 2)
         y = x[:, :, 0]
     else:
+        k_post = params["conv_post_plain"]["w"].shape[0]
         x = pc.packed_conv1d(params["conv_post"], x, k=k_post, dilation=1,
                              pad=(k_post - 1) // 2, P=p_fin)
         y = x.reshape(x.shape[0], x.shape[1] * p_fin)
