@@ -462,5 +462,6 @@ def apply(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None, rng=None,
                 xs = xs + _resblock2(blk, x, k_rb, d_rb)
         x = xs / n_kernels
     x = jax.nn.leaky_relu(x)
-    x = nn.conv1d(params["conv_post"], x, padding=3)
+    x = nn.conv1d(params["conv_post"], x,
+                  padding=(params["conv_post"]["w"].shape[0] - 1) // 2)
     return jnp.tanh(x)[:, :, 0].astype(jnp.float32)

@@ -171,3 +171,45 @@ def test_packed_strided_conv_matches_plain():
         got = pc.packed_strided_conv(pp, har, k=k, s=s, P=P)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref_packed),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_apply_packed_nondefault_conv_post_kernel():
+    """apply_packed must honor the checkpoint's actual conv_post kernel
+    width (regression: it was hardcoded to the v1 default of 7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffsvc_tpu.models import nn
+    from diffsvc_tpu.vocoders import generator as gen
+
+    cfg = gen.HifiGanConfig(
+        num_mels=16, upsample_initial_channel=32,
+        upsample_rates=(4, 2, 2), upsample_kernel_sizes=(8, 4, 4),
+        resblock="1", resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), sampling_rate=8000, use_nsf=False)
+    params = gen.init(jax.random.PRNGKey(0), cfg)
+    # swap in a width-5 output conv
+    params["conv_post"] = nn.init_conv1d(jax.random.PRNGKey(9), 5,
+                                         params["conv_post"]["w"].shape[1], 1)
+    mel = jnp.asarray(np.random.RandomState(0)
+                      .randn(1, 32, 16).astype(np.float32))
+    ref = gen.apply(params, cfg, mel)
+    packed = gen.pack_params(params, cfg, 16)
+    got = gen.apply_packed(packed, cfg, mel, lane_target=16)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_pack_lanes_without_run_params_raises():
+    """A vocoder wrapper with pack_lanes set but no packed run_params must
+    fail loudly, not trace unpacked weights through packed conv spans."""
+    from types import SimpleNamespace
+
+    from diffsvc_tpu.infer.fused import FusedSvc
+
+    voc = SimpleNamespace(params={}, cfg=None, pack_lanes=128)
+    fused = FusedSvc.__new__(FusedSvc)
+    fused.vocoder = voc
+    with pytest.raises(AttributeError, match="run_params"):
+        fused._voc_run_params()
