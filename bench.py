@@ -241,15 +241,40 @@ def main():
     log(f"| fused RTF bf16+packed-fp32-voc: {rtf_mix:.4f} (runs: "
         + " ".join(f"{t:.3f}" for t in mix_times) + ")")
 
+    # bf16 pipeline + fused Pallas vocoder tail (ops/pallas/vocoder_tail.py)
+    # — the production serving config setup_serving picks on TPU
+    rtf_tail = float("nan")
+    fused_prod = fused_mix
+    tail_built = gen.build_tail_params(voc_params, voc_packed.run_params,
+                                       voc_cfg, 128)
+    if tail_built is not None:
+        plan, tail_params = tail_built
+        voc_tail = SimpleNamespace(
+            params=voc_params, cfg=voc_cfg, pack_lanes=128,
+            run_params=tail_params, tail_plan=plan)
+        fused_tail = FusedSvc(hp_mix, params, voc_tail,
+                              hubert_params=hub_params, hubert_cfg=hub_cfg,
+                              speedup=SPEEDUP)
+        _sync(fused_tail(wav))
+        tail_times = []
+        for i in range(8):
+            t0 = time.time()
+            _sync(fused_tail(wav, rng=jax.random.PRNGKey(400 + i)))
+            tail_times.append(time.time() - t0)
+        rtf_tail = min(tail_times) / SECS
+        log(f"| fused RTF bf16+pallas-tail-voc: {rtf_tail:.4f} (runs: "
+            + " ".join(f"{t:.3f}" for t in tail_times) + ")")
+        fused_prod = fused_tail
+
     # steady-state serving throughput: 4 dispatches in flight, sync once —
     # amortizes the per-call host->device round trip (the tunnel on this
     # bench host), i.e. the RTF a pipelined server actually sustains
     t0 = time.time()
-    outs = [fused_mix(wav, rng=jax.random.PRNGKey(10 + i)) for i in range(4)]
+    outs = [fused_prod(wav, rng=jax.random.PRNGKey(10 + i)) for i in range(4)]
     for o in outs:
         _sync(o)
     rtf_tp = (time.time() - t0) / (4 * SECS)
-    log(f"| pipelined serving RTF (4 in flight, bf16+packed-voc): {rtf_tp:.4f}")
+    log(f"| pipelined serving RTF (4 in flight, production config): {rtf_tp:.4f}")
 
     # batched serving: N chunks in ONE vmapped dispatch — at batch 1 the
     # chip is overhead/latency bound (MFU ~3%), so batching slicer chunks
@@ -268,18 +293,26 @@ def main():
     log(f"| batched serving RTF (batch 4, bf16+packed-voc, one dispatch): {rtf_batched:.4f}"
         f" (runs: " + " ".join(f"{t:.3f}" for t in bt) + ")")
 
-    # headline = the production serving mode: fused single-dispatch graph with
-    # bf16 denoiser/hubert (sampler math fp32) and the best vocoder config —
-    # quality-bounded vs fp32 in tests/test_fused.py (bf16 + packed parity
-    # tests). fp32 kept in stderr for reference; min() guards against
-    # tunnel-latency variance.
-    rtf = min(rtf_bf16, rtf_fused, rtf_mix)
-    log(f"| end-to-end RTF (fused bf16 serving): {rtf:.4f} (target < 0.05)")
+    # headline = THE production serving config (what setup_serving picks on
+    # TPU): fused single-dispatch graph, bf16 denoiser/hubert (sampler math
+    # fp32), Pallas-tail vocoder when supported else packed fp32 — NOT a min
+    # over variants, so a regression in the shipped config cannot hide
+    # behind another variant winning the run.  Per-variant minima ride
+    # along as diagnostic fields; min-of-8 per variant guards against
+    # tunnel-latency variance only.
+    rtf = rtf_tail if rtf_tail == rtf_tail else rtf_mix  # NaN-safe pick
+    log(f"| end-to-end RTF (production fused serving): {rtf:.4f} (target < 0.05)")
     print(json.dumps({
         "metric": "e2e_rtf_44k1_10s_acc20",
         "value": round(rtf, 5),
         "unit": "rtf",
         "vs_baseline": round(0.05 / rtf, 3),
+        "rtf_fp32": round(rtf_fused, 5),
+        "rtf_bf16": round(rtf_bf16, 5),
+        "rtf_bf16_packed_voc": round(rtf_mix, 5),
+        "rtf_bf16_pallas_tail": round(rtf_tail, 5) if rtf_tail == rtf_tail else None,
+        "rtf_pipelined": round(rtf_tp, 5),
+        "rtf_batched": round(rtf_batched, 5),
     }))
 
 

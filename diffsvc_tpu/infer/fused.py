@@ -98,7 +98,7 @@ class FusedSvc:
         self._fns = {}
 
     # ------------------------------------------------------------------
-    def _build(self, n44: int, model=None):
+    def _build(self, n44: int, model=None, use_voc_tail: bool = True):
         from ..ops.resample import resample_length, resample_poly_device
 
         n16 = resample_length(n44, self.hp["audio_sample_rate"], 16000)
@@ -217,9 +217,20 @@ class FusedSvc:
             dtype = jnp.bfloat16 if str(hp.get("voc_compute_dtype", "")) in (
                 "bf16", "bfloat16") else None
             lanes = getattr(voc, "pack_lanes", 0)
-            if lanes:  # channel-packed MXU path (ops/packed_conv.py)
-                wav_out = gen.apply_packed(
+            tail_plan = getattr(voc, "tail_plan", None) if use_voc_tail \
+                else None
+            if tail_plan is not None:  # fused Pallas tail (vocoder_tail.py)
+                wav_out = gen.apply_tail(
                     voc_params, voc.cfg, voc_in, f0_voc,
+                    jax.random.fold_in(rng, 7), plan=tail_plan)
+            elif lanes:  # channel-packed MXU path (ops/packed_conv.py)
+                # the wrapper's run_params may be the tail-params dict
+                # (plain/packed/wcat/bcat) when the Pallas tail is set up
+                # but disabled here (e.g. the vmapped batched graph)
+                pp = voc_params["packed"] if "wcat" in voc_params \
+                    else voc_params
+                wav_out = gen.apply_packed(
+                    pp, voc.cfg, voc_in, f0_voc,
                     jax.random.fold_in(rng, 7), dtype=dtype,
                     lane_target=lanes)
             else:
@@ -259,7 +270,11 @@ class FusedSvc:
             # XLA scan denoiser
             hp_b = dict(self.hp)
             hp_b["diffnet_pallas"] = "off"
-            fused = self._build(n44, model=GaussianDiffusion(hp_b))
+            # the Pallas vocoder tail is likewise single-stream (manual DMA
+            # windows over a time grid); the batched graph keeps the XLA
+            # packed vocoder
+            fused = self._build(n44, model=GaussianDiffusion(hp_b),
+                                use_voc_tail=False)
             self._fns[key] = jax.jit(jax.vmap(
                 fused, in_axes=(None, None, None, 0, 0, 0, None)))
         return self._fns[key]

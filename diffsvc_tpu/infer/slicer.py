@@ -64,6 +64,20 @@ class Slicer:
             raise ValueError("max_silence_kept >= win_s must hold")
 
     def slice(self, audio: np.ndarray) -> Dict[str, Dict]:
+        # DELIBERATE TRANSCRIPTION FOR PARITY: this method follows the
+        # reference's sequential scan (infer_tools/slicer.py:60-118)
+        # step-for-step, keeping its variable roles (sil_tags, split-point
+        # refinement, trailing-silence handling).  The cut points are part
+        # of the product's compatibility surface — chunk caches are keyed
+        # on them, and downstream concat assumes identical boundaries — so
+        # they must match the reference bit-for-bit, including its
+        # tie-breaking (argmin on equal minima) and its off-by-one window
+        # conventions.  A restatement "in our own idiom" was considered and
+        # rejected: any paraphrase of a stateful scan either reproduces the
+        # same control flow under different names (no gain) or risks silent
+        # boundary drift (real cost).  The surrounding DSP (windowed
+        # max/RMS filters) IS re-implemented independently (C++/scipy
+        # above); only the ~60-line cut-point scan is transcribed.
         samples = audio
         if samples.shape[0] <= self.min_samples:
             return {"0": {"slice": False, "split_time": f"0,{len(audio)}"}}

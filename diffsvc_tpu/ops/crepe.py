@@ -129,10 +129,17 @@ _A_MIN_DB = -100.0  # torchcrepe loudness.MIN_DB
 
 def a_weighted_loudness(wav16k: np.ndarray, hop: int = HOP,
                         n_fft: int = WINDOW) -> np.ndarray:
-    """Per-frame A-weighted perceptual loudness, matching torchcrepe
-    loudness.a_weighted: centered periodic-Hann STFT (zero padding),
-    librosa amplitude_to_db (ref 1, amin 1e-5, top_db 80 vs the global
-    max), + (A-weighting - 20 dB ref), floor -100 dB, mean over bins."""
+    """Per-frame A-weighted perceptual loudness following torchcrepe
+    loudness.a_weighted: centered periodic-Hann STFT, librosa
+    amplitude_to_db (ref 1, amin 1e-5, top_db 80 vs the global max),
+    + (A-weighting - 20 dB ref), floor -100 dB, mean over bins.
+
+    Padding-mode caveat: this uses ZERO padding at the edges, while
+    librosa/torch STFT defaults vary by version (librosa pads 'constant'
+    for stft but torchcrepe routes through librosa with its defaults) —
+    edge frames can therefore differ slightly, which only matters when a
+    frame sits exactly at the -60 dB silence-gate threshold.  Interior
+    frames are unaffected."""
     pad = n_fft // 2
     w = np.pad(np.asarray(wav16k, np.float64), (pad, pad))
     n_frames = 1 + len(wav16k) // hop

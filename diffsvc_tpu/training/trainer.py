@@ -30,15 +30,25 @@ from .task import SVCTask
 def vocoder_weights_available(hp) -> bool:
     """True when the config names a vocoder AND its checkpoint location
     exists on disk. ``vocoder_ckpt`` may point at a file
-    (``.../model_ckpt_steps_N.ckpt``, or a ``.../model`` prefix as the
-    reference NSF configs do) or at a directory to glob — accept the
-    deepest existing of: the path itself, or its parent directory."""
+    (``.../model_ckpt_steps_N.ckpt``), or at a ``.../model`` prefix as the
+    reference NSF configs do — for the prefix form, require an actual
+    checkpoint file in the parent directory (an existing-but-empty work
+    dir must not construct a wrapper with no weights)."""
     if not hp.get("vocoder"):
         return False
     ckpt = str(hp.get("vocoder_ckpt", ""))
     if not ckpt:
         return False
-    return os.path.exists(ckpt) or os.path.isdir(os.path.dirname(ckpt))
+    if os.path.isfile(ckpt):
+        return True
+    import glob as _glob
+
+    # directory form: look inside it; prefix form: look in the parent
+    search_dir = ckpt if os.path.isdir(ckpt) else os.path.dirname(ckpt)
+    if not os.path.isdir(search_dir):
+        return False
+    pats = ("model_ckpt_steps_*.ckpt", "model", "g_*", "generator*")
+    return any(_glob.glob(os.path.join(search_dir, p)) for p in pats)
 
 
 def resolve_task_cls(name: str):
@@ -237,7 +247,13 @@ class Trainer:
         Multi-host: the sampling itself must run on all processes (it is a
         computation over globally-replicated params), so the writer check
         comes AFTER it — returning early on non-0 processes before the
-        compute would diverge the SPMD programs."""
+        compute would diverge the SPMD programs.  Single-process with no
+        writer (tensorboard unavailable) there is no such constraint, and
+        sampling would be computed only to be discarded — skip it."""
+        import jax
+
+        if self.writer is None and jax.process_count() == 1:
+            return
         try:
             sample_params = state.get("ema_params", state["params"])
             out = self.task.sample(sample_params, batch, self.rng)

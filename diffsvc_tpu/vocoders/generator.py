@@ -161,7 +161,7 @@ def init(key, cfg: HifiGanConfig):
     params["resblocks"] = resblocks
     if cfg.use_nsf:
         params["noise_convs"] = noise_convs
-        params["m_source"] = init_source_module(next(keys))
+        params["m_source"] = init_source_module(next(keys), cfg.harmonic_num)
     params["conv_post"] = nn.init_conv1d(next(keys), 7, ch, 1)
     return params
 
@@ -212,9 +212,12 @@ def pack_schedule(cfg: HifiGanConfig, lane_target: int = 128):
     Packing starts at the first transposed conv whose output channels drop
     below ``lane_target`` (the MXU lane width); a packed ConvT multiplies
     the pack factor by its stride (P_out = P_in * u, constant block count).
-    Because channels halve while rates are >= 2, effective lanes C*P never
-    shrink once packing starts, and at pack start C*u >= 2C >= lane_target
-    — so this natural growth alone always reaches the target."""
+    For halving-channel generators (c_i = c0 / 2^(i+1), the HiFi-GAN v1
+    family and both production configs): lanes C*P never shrink once
+    packing starts, and at pack start C*u >= 2C >= lane_target, so the
+    natural growth alone reaches the target.  Configs whose first upsample
+    stage already starts below lane_target/stride stay under-packed — a
+    lane-utilization (perf) shortfall only, numerics unaffected."""
     p = 1
     sched = []
     for i, u in enumerate(cfg.upsample_rates):
@@ -390,18 +393,140 @@ def apply_packed(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None,
     return jnp.tanh(y).astype(jnp.float32)
 
 
+def tail_kernel_enabled(hp) -> bool:
+    """``vocoder_pallas_tail`` hparam: on / off / auto (= on TPU).
+
+    The fused Pallas tail (ops/pallas/vocoder_tail.py) subsumes the packed
+    XLA path for single-stream serving: same packed tap matmuls, but with
+    activations VMEM-resident across all ~56 tail convs instead of one HBM
+    round trip each."""
+    mode = str(hp.get("vocoder_pallas_tail", "auto")).lower()
+    if mode in ("1", "true", "on", "yes"):
+        return True
+    if mode in ("0", "false", "off", "no", "none"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _tail_prologue(plain, cfg: HifiGanConfig, mel, f0, rng, s0: int):
+    """XLA prologue for the Pallas tail: conv_pre + stages 0..s0-1 in full
+    + stage s0's leaky/ConvT/NSF-injection.  Returns (x [B,T_b,128],
+    har_source or None)."""
+    total_up = int(np.prod(cfg.upsample_rates))
+    har_source = None
+    if cfg.use_nsf and f0 is not None:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        f0_up = upsample_nearest(f0, total_up)
+        har_source, _ = source_module(plain["m_source"], rng, f0_up,
+                                      cfg.sampling_rate, cfg.harmonic_num)
+    x = nn.conv1d(plain["conv_pre"], mel, padding=3)
+    for i in range(s0 + 1):
+        u, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = nn.conv_transpose1d(plain["ups"][i], x, stride=u,
+                                padding=(k - u) // 2)
+        if har_source is not None:
+            ncp = plain["noise_convs"][i]
+            k_nc = ncp["w"].shape[0]
+            if k_nc == 1:
+                x_source = nn.conv1d(ncp, har_source)
+            else:
+                stride_f0 = k_nc // 2
+                x_source = nn.conv1d(ncp, har_source, stride=stride_f0,
+                                     padding=stride_f0 // 2)
+            x = x + x_source[:, : x.shape[1]]
+        if i < s0:
+            xs = 0.0
+            for j, (k_rb, d_rb) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                                 cfg.resblock_dilation_sizes)):
+                blk = plain["resblocks"][i][j]
+                xs = xs + (_resblock1(blk, x, k_rb, d_rb)
+                           if cfg.resblock == "1"
+                           else _resblock2(blk, x, k_rb, d_rb))
+            x = xs / len(cfg.resblock_kernel_sizes)
+    return x, har_source
+
+
+def apply_tail(tp: dict, cfg: HifiGanConfig, mel, f0=None, rng=None, *,
+               plan, ts: int = 4096, interpret: bool = False):
+    """Generator forward with the fused Pallas tail kernel.
+
+    :param tp: {"plain": init-layout params, "packed": pack_params output,
+        "wcat": [N,128,128] tap stack, "bcat": [n_convs,128]} — all passed
+        as arguments so weights stay device-resident between calls.
+    Numerics match :func:`apply_packed` to bf16-operand matmul accuracy on
+    TPU (exactly XLA's default precision) and to fp32 in interpret mode.
+    """
+    from ..ops import packed_conv as pc
+    from ..ops.pallas import vocoder_tail as vt
+
+    assert mel.shape[0] == 1, "pallas tail is single-stream (B == 1)"
+    plain, packed = tp["plain"], tp["packed"]
+    sched = pack_schedule(cfg, 128)
+    x, har_source = _tail_prologue(plain, cfg, mel, f0, rng, plan.s0)
+    t_b = x.shape[1]
+    slabs = [x[0]]
+    if har_source is not None:
+        for i in range(plan.s0 + 1, len(cfg.upsample_rates)):
+            p_st = sched[i][1]
+            ncp = plain["noise_convs"][i]
+            k_nc = int(ncp["w"].shape[0])
+            s_nc = k_nc // 2 if k_nc > 1 else 1
+            xsrc = pc.packed_strided_conv(
+                packed["noise_convs_packed"][i], har_source,
+                k=k_nc, s=s_nc, P=p_st)
+            slabs.append(xsrc[0, :t_b])
+    y = vt.tail(jnp.stack(slabs), tp["wcat"], tp["bcat"], plan, t_b=t_b,
+                ts=ts, interpret=interpret)
+    return y.reshape(1, t_b * plan.p_fin)
+
+
+def build_tail_params(params, packed, cfg: HifiGanConfig,
+                      lane_target: int = 128, weight_dtype=jnp.bfloat16):
+    """(plan, tail-params pytree) for :func:`apply_tail`, or None when the
+    config doesn't reach the uniform 128-lane tail layout."""
+    from ..ops.pallas import vocoder_tail as vt
+
+    built = vt.build_plan(params, packed, cfg, lane_target)
+    if built is None:
+        return None
+    plan, wcat, bcat = built
+    return plan, {"plain": params, "packed": packed,
+                  "wcat": wcat.astype(weight_dtype), "bcat": bcat}
+
+
 def setup_serving(wrapper, hp):
     """Attach the serving path to a vocoder wrapper holding .params/.cfg:
     sets .pack_lanes (0 = plain), .run_params (packed kernels when packing),
     and jitted ._apply / ._apply_nof0.  On TPU (or ``vocoder_channel_pack:
     on``) the C<128 tail stages run channel-packed as dense MXU matmuls
-    (ops/packed_conv.py); parity tested in tests/test_packed_conv.py."""
+    (ops/packed_conv.py); parity tested in tests/test_packed_conv.py.
+    On top of packing, ``vocoder_pallas_tail`` (auto = TPU) fuses the whole
+    128-lane tail into one Pallas kernel (ops/pallas/vocoder_tail.py);
+    parity tested in tests/test_vocoder_tail.py."""
+    from ..ops.pallas import vocoder_tail as vt
+
     wrapper.pack_lanes = int(hp.get("vocoder_pack_lanes", 128) or 0) \
         if packing_enabled(hp) else 0
     cfg = wrapper.cfg
+    wrapper.tail_plan = None
     if wrapper.pack_lanes:
         lanes = wrapper.pack_lanes
         wrapper.run_params = pack_params(wrapper.params, cfg, lanes)
+        if tail_kernel_enabled(hp):
+            built = build_tail_params(wrapper.params, wrapper.run_params,
+                                      cfg, lanes)
+            if built is not None and vt.supported(built[0], 1):
+                plan, tail_params = built
+                wrapper.tail_plan = plan
+                wrapper.packed_params = wrapper.run_params
+                wrapper.run_params = tail_params
+                wrapper._apply = jax.jit(lambda p, m, f0, rng: apply_tail(
+                    p, cfg, m, f0, rng, plan=plan))
+                wrapper._apply_nof0 = jax.jit(lambda p, m: apply_tail(
+                    p, cfg, m, plan=plan))
+                return
         wrapper._apply = jax.jit(lambda p, m, f0, rng: apply_packed(
             p, cfg, m, f0, rng, lane_target=lanes))
         wrapper._apply_nof0 = jax.jit(lambda p, m: apply_packed(

@@ -179,3 +179,22 @@ def test_fused_packed_vocoder_matches_plain(fused_model):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_wav), np.asarray(ref_wav),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_key_shift_property(fused_model):
+    """Key transpose property (reference infer_tool.py:149-150): +12
+    semitones doubles the conditioner's denormalized f0; a shift past the
+    f0_max ceiling zeroes the log2 value, which denorm_f0 maps to 2**0 =
+    1.0 Hz (the reference quirk, utils/pitch_utils.py:63-76 with
+    use_uv=False — deliberately preserved)."""
+    t = np.arange(8000) / 8000
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    _, f0_0, _ = fused_model(wav, key_shift=0)
+    _, f0_12, _ = fused_model(wav, key_shift=12)
+    _, f0_36, _ = fused_model(wav, key_shift=36)
+    f0_0, f0_12, f0_36 = (np.asarray(a) for a in (f0_0, f0_12, f0_36))
+    v = f0_0 > 10.0
+    assert v.sum() > 20
+    np.testing.assert_allclose(f0_12[v], 2.0 * f0_0[v], rtol=1e-4)
+    # 220 * 2**3 = 1760 > f0_max 1100 -> ceiling zeroing -> denorm == 1 Hz
+    np.testing.assert_allclose(f0_36[v], 1.0, rtol=1e-5)

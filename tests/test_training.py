@@ -254,16 +254,23 @@ def test_vocoder_weights_available():
     assert not vocoder_weights_available(
         HParams(vocoder="HifiGAN", vocoder_ckpt="/nonexistent/dir/model"))
     with tempfile.TemporaryDirectory() as d:
-        # directory form
-        assert vocoder_weights_available(
+        # an existing-but-EMPTY directory must not count as weights — a
+        # wrapper built on it would have no params and fail later with an
+        # AttributeError instead of being cleanly disabled (ADVICE r2)
+        assert not vocoder_weights_available(
             HParams(vocoder="HifiGAN", vocoder_ckpt=d))
-        # reference NSF ".../model" prefix form (dir exists, file doesn't)
-        assert vocoder_weights_available(
+        assert not vocoder_weights_available(
             HParams(vocoder="NsfHifiGAN", vocoder_ckpt=os.path.join(d, "model")))
         f = os.path.join(d, "model_ckpt_steps_10.ckpt")
         open(f, "w").close()
+        # file form, directory form, and the reference NSF ".../model"
+        # prefix form all resolve once a checkpoint file exists
         assert vocoder_weights_available(
             HParams(vocoder="HifiGAN", vocoder_ckpt=f))
+        assert vocoder_weights_available(
+            HParams(vocoder="HifiGAN", vocoder_ckpt=d))
+        assert vocoder_weights_available(
+            HParams(vocoder="NsfHifiGAN", vocoder_ckpt=os.path.join(d, "model")))
 
 
 def test_print_nan_grads_flag_compiles_and_fires(capfd):
