@@ -339,3 +339,73 @@ class FusedSvc:
             out.append((wav_o[i, : min(ln, wav_o.shape[1])],
                         f0_o[i, :t_true], mel_o[i, :t_true]))
         return out
+
+    # ------------------------------------------------------------------
+    # multi-chip serving: the batched graph sharded over a device mesh
+    # ------------------------------------------------------------------
+    def _get_sharded_batched_fn(self, n44: int, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..models.diffusion import GaussianDiffusion
+
+        key = ("sharded", n44, tuple(d.id for d in mesh.devices.flat))
+        if key not in self._fns:
+            hp_b = dict(self.hp)
+            hp_b["diffnet_pallas"] = "off"   # not vmap/shard-safe
+            fused = self._build(n44, model=GaussianDiffusion(hp_b),
+                                use_voc_tail=False)
+            vm = jax.vmap(fused, in_axes=(None, None, None, 0, 0, 0, None))
+            rep = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self._fns[key] = jax.jit(
+                vm,
+                in_shardings=(rep, rep, rep, data, data, data, rep),
+                out_shardings=(data, data, data))
+        return self._fns[key]
+
+    def batched_sharded(self, wavs, mesh, rng=None, key_shifts=None,
+                        spk_id: int = 0):
+        """Data-sharded batched serving: N chunks split across the mesh's
+        ``data`` axis, ONE SPMD dispatch (params replicated, chunk batch
+        sharded — serving scales across chips exactly like training does).
+
+        N is padded to a multiple of the data-axis size with silent dummy
+        chunks whose results are dropped.  Per-chunk numerics are identical
+        to :meth:`batched` (no cross-chunk math, so SPMD partitioning
+        changes nothing); verified in tests/test_fused_sharded.py.
+
+        Per-chip throughput math: one v5e chip sustains batched RTF r_b
+        (BASELINE.md); D chips at data-parallel batch N process N chunks in
+        the same wall time a single chip needs for N/D — aggregate
+        throughput scales as D / r_b chunk-seconds per second, with zero
+        inter-chip traffic after the (replicated) weights load.
+        """
+        dp = int(mesh.shape["data"])
+        n_true = len(wavs)
+        n = -(-n_true // dp) * dp
+        lens = [len(w) for w in wavs]
+        n44 = max(lens)
+        bucket = int(self.hp.get("fused_bucket_samples", 0))
+        if bucket:
+            n44 = -(-n44 // bucket) * bucket
+        stacked = np.zeros((n, n44), np.float32)
+        for i, w in enumerate(wavs):
+            stacked[i, : len(w)] = w
+        if key_shifts is None:
+            key_shifts = 0
+        if np.ndim(key_shifts) == 0:
+            key_shifts = [key_shifts] * n_true
+        ks = np.zeros((n,), np.float32)
+        ks[:n_true] = np.asarray(key_shifts, np.float32)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rngs = jax.random.split(rng, n)
+        wav_o, f0_o, mel_o = self._get_sharded_batched_fn(n44, mesh)(
+            self.params, self.hub_params, self._voc_run_params(),
+            jnp.asarray(stacked), rngs, jnp.asarray(ks), jnp.int32(spk_id))
+        hop = int(self.hp["hop_size"])
+        out = []
+        for i, ln in enumerate(lens):
+            t_true = -(-ln // hop)
+            out.append((wav_o[i, : min(ln, wav_o.shape[1])],
+                        f0_o[i, :t_true], mel_o[i, :t_true]))
+        return out

@@ -198,3 +198,26 @@ def test_key_shift_property(fused_model):
     np.testing.assert_allclose(f0_12[v], 2.0 * f0_0[v], rtol=1e-4)
     # 220 * 2**3 = 1760 > f0_max 1100 -> ceiling zeroing -> denorm == 1 Hz
     np.testing.assert_allclose(f0_36[v], 1.0, rtol=1e-5)
+
+
+def test_bucket_set_bounded(fused_model):
+    """fused_bucket_samples bounds the compiled-program set: many distinct
+    buffer lengths must collapse onto ceil(len/bucket) buckets (the
+    realtime/DAW serving requirement — reference flask_api.py streams
+    arbitrary short buffers)."""
+    from diffsvc_tpu.config import HParams
+
+    hp2 = HParams(**{**fused_model.hp, "fused_bucket_samples": 2048})
+    fs = FusedSvc(hp2, fused_model.params, fused_model.vocoder,
+                  hubert_params=fused_model.hub_params,
+                  hubert_cfg=fused_model.hub_cfg, speedup=5)
+    rng = np.random.RandomState(0)
+    lens = [int(x) for x in rng.randint(1500, 8192, size=10)]
+    for i, n in enumerate(lens):
+        t = np.arange(n) / 8000
+        wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        wav_out, _, _ = fs(wav)
+        assert len(np.asarray(wav_out)) == n   # trimmed to true length
+    buckets = {k for k in fs._fns if not isinstance(k, tuple)}
+    assert buckets <= {2048 * m for m in range(1, 5)}
+    assert len(buckets) <= 4
