@@ -138,15 +138,18 @@ class FusedSvc:
             wav16 = resample_poly_device(wav44, sr, 16000)
 
             # --- mel ---
+            dft_prec = str(hp.get("mel_dft_precision", "highest"))
             if is_nsf:
                 mel = mel_ops.wav2mel_nsf(
                     wav44, sr=sr, n_fft=nfft, hop=hop, win_length=hp["win_size"],
-                    n_mels=nmel, fmin=float(hp["fmin"]), fmax=float(hp["fmax"]))
+                    n_mels=nmel, fmin=float(hp["fmin"]), fmax=float(hp["fmax"]),
+                    dft_precision=dft_prec)
             else:
                 mel = mel_ops.wav2mel_pwg(
                     wav44, sr=sr, n_fft=nfft, hop=hop, win_length=hp["win_size"],
                     n_mels=nmel, fmin=float(hp["fmin"]), fmax=float(hp["fmax"]),
-                    eps=float(hp.get("wav2spec_eps", 1e-6)))
+                    eps=float(hp.get("wav2spec_eps", 1e-6)),
+                    dft_precision=dft_prec)
             mel = mel[:t_mel]
 
             # --- f0 (AC tracker) on the mel grid ---

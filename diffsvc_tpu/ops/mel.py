@@ -115,14 +115,31 @@ def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return y[idx]
 
 
+def _basis_support(basis: np.ndarray):
+    """[first, last+1) column range with any filterbank weight: rDFT bins
+    outside it multiply a zero basis column, so skipping them is exact."""
+    nz = np.nonzero(basis.sum(axis=0) > 0)[0]
+    if len(nz) == 0:
+        return 0, basis.shape[1]
+    return int(nz[0]), int(nz[-1] + 1)
+
+
 def stft_mag(y: jnp.ndarray, n_fft: int, hop: int, win_length: int,
              center: bool = True, pad_mode: str = "constant",
-             mag_eps: float = 0.0, power_floor: float = 0.0) -> jnp.ndarray:
-    """Magnitude STFT [n_frames, 1+n_fft//2] of a 1-D signal.
+             mag_eps: float = 0.0, power_floor: float = 0.0,
+             bin_lo: int = 0, bin_hi: int = -1,
+             dft_precision: str = "highest") -> jnp.ndarray:
+    """Magnitude STFT [n_frames, bin_hi-bin_lo] of a 1-D signal.
 
     ``center=True`` pads n_fft//2 on both sides (librosa semantics); a
     win_length window is zero-padded centered inside the n_fft frame.
+    ``bin_lo``/``bin_hi`` restrict the computed rDFT bins (default: all
+    1+n_fft//2) — the mel paths pass the filterbank's support so the DFT
+    matmul skips bins that would be multiplied by a zero basis row anyway
+    (exact same mel, ~25% fewer DFT FLOPs at the 44.1k/fmax=16k profile).
     """
+    if bin_hi < 0:
+        bin_hi = n_fft // 2 + 1
     if center:
         y = jnp.pad(y, (n_fft // 2, n_fft // 2), mode=pad_mode)
     win = hann_window(win_length)
@@ -135,25 +152,25 @@ def stft_mag(y: jnp.ndarray, n_fft: int, hop: int, win_length: int,
         # these shapes (~90 ms vs ~5 ms for 862x2048 frames): compute the
         # rDFT as two fp32-highest matmuls against device-generated
         # cos/sin matrices (no large constants in the HLO).
-        n_bins = n_fft // 2 + 1
         # range-reduce n*k mod N in int32 BEFORE the float conversion:
         # raw angles reach ~2pi*1e6 rad and large-argument sin/cos
         # range reduction is catastrophically slow on the VPU (measured
         # seconds per call)
         nk = (jnp.arange(n_fft, dtype=jnp.int32)[:, None]
-              * jnp.arange(n_bins, dtype=jnp.int32)[None, :]) % n_fft
+              * jnp.arange(bin_lo, bin_hi, dtype=jnp.int32)[None, :]) % n_fft
         # optimization_barrier: without it XLA constant-folds the 2x2M-entry
         # trig tables at COMPILE time (~55 s extra per bucket); computing
         # them on device each call costs ~1 ms
         nk = jax.lax.optimization_barrier(nk.astype(jnp.float32))
         ang = (2.0 * np.pi / n_fft) * nk
-        re = jnp.matmul(frames, jnp.cos(ang),
-                        precision=jax.lax.Precision.HIGHEST)
-        im = -jnp.matmul(frames, jnp.sin(ang),
-                         precision=jax.lax.Precision.HIGHEST)
+        prec = {"default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[str(dft_precision)]
+        re = jnp.matmul(frames, jnp.cos(ang), precision=prec)
+        im = -jnp.matmul(frames, jnp.sin(ang), precision=prec)
         power = re**2 + im**2
     else:
-        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)[:, bin_lo:bin_hi]
         power = spec.real**2 + spec.imag**2
     if mag_eps > 0:
         return jnp.sqrt(power + mag_eps)
@@ -165,25 +182,31 @@ def stft_mag(y: jnp.ndarray, n_fft: int, hop: int, win_length: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sr", "n_fft", "hop", "win_length", "n_mels", "fmin", "fmax", "eps"))
+    "sr", "n_fft", "hop", "win_length", "n_mels", "fmin", "fmax", "eps",
+    "dft_precision"))
 def wav2mel_pwg(wav: jnp.ndarray, *, sr: int, n_fft: int, hop: int,
                 win_length: int, n_mels: int, fmin: float, fmax: float,
-                eps: float = 1e-6) -> jnp.ndarray:
+                eps: float = 1e-6, dft_precision: str = "highest") -> jnp.ndarray:
     """24 kHz 'pwg'-style log10-mel [T, n_mels].
 
     Parity target: reference ``process_utterance`` (data_gen_utils.py:96-149).
     """
-    spc = stft_mag(wav, n_fft, hop, win_length, center=True, pad_mode="constant")
-    basis = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    basis_np = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+    b_lo, b_hi = _basis_support(basis_np)
+    spc = stft_mag(wav, n_fft, hop, win_length, center=True,
+                   pad_mode="constant", bin_lo=b_lo, bin_hi=b_hi,
+                   dft_precision=dft_precision)
+    basis = jnp.asarray(basis_np[:, b_lo:b_hi])
     mel = spc @ basis.T  # [T, n_mels] — framewise matmul rides the MXU
     return jnp.log10(jnp.maximum(eps, mel))
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sr", "n_fft", "hop", "win_length", "n_mels", "fmin", "fmax", "clip_val"))
+    "sr", "n_fft", "hop", "win_length", "n_mels", "fmin", "fmax", "clip_val",
+    "dft_precision"))
 def wav2mel_nsf(wav: jnp.ndarray, *, sr: int, n_fft: int, hop: int,
                 win_length: int, n_mels: int, fmin: float, fmax: float,
-                clip_val: float = 1e-5) -> jnp.ndarray:
+                clip_val: float = 1e-5, dft_precision: str = "highest") -> jnp.ndarray:
     """44.1 kHz NSF-style mel, returned in **log10** domain [T, n_mels].
 
     Parity target: ``nvSTFT.get_mel`` (reflect pad (n_fft-hop)/2, center=False,
@@ -191,8 +214,11 @@ def wav2mel_nsf(wav: jnp.ndarray, *, sr: int, n_fft: int, hop: int,
     """
     pad = (n_fft - hop) // 2
     y = jnp.pad(wav, (pad, pad), mode="reflect")
-    spc = stft_mag(y, n_fft, hop, win_length, center=False, mag_eps=1e-9)
-    basis = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    basis_np = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+    b_lo, b_hi = _basis_support(basis_np)
+    spc = stft_mag(y, n_fft, hop, win_length, center=False, mag_eps=1e-9,
+                   bin_lo=b_lo, bin_hi=b_hi, dft_precision=dft_precision)
+    basis = jnp.asarray(basis_np[:, b_lo:b_hi])
     mel = spc @ basis.T
     ln_mel = jnp.log(jnp.clip(mel, clip_val, None))
     return ln_mel * LOG10_E
