@@ -118,3 +118,52 @@ class SvcExporter:
         with open(os.path.join(out_dir, "export_meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
         return paths
+
+
+def export_fused(fused_svc, out_dir: str, n44: int) -> str:
+    """Export the SINGLE-DISPATCH fused serving program for one length
+    bucket as a self-contained StableHLO artifact (weights baked in as
+    constants, like the reference's ONNX graphs bake theirs):
+
+        (wav44 [n44] f32, rng_key uint32[2], key_shift f32, spk int32)
+            -> (wav_out, f0, mel)
+
+    The Pallas vocoder tail is excluded (a TPU-only custom call would make
+    the artifact non-portable); the exported program uses the channel-
+    packed XLA vocoder, which is numerically identical.  Consumption:
+    ``tools/run_exported.py --fused`` or ``load_exported`` — verified
+    bit-for-bit against the in-process FusedSvc in
+    tests/test_export_misc.py.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    fused = fused_svc._build(int(n44), use_voc_tail=False)
+    params = fused_svc.params
+    hub_params = fused_svc.hub_params
+    voc_params = fused_svc._voc_run_params()
+    if isinstance(voc_params, dict) and "wcat" in voc_params:
+        voc_params = voc_params["packed"]
+
+    def fn(wav44, rng_key, key_shift, spk):
+        # rng_key is the raw uint32[2] PRNGKey data (the default jax key
+        # representation), usable directly by fold_in/split inside
+        return fused(params, hub_params, voc_params, wav44, rng_key,
+                     key_shift, spk)
+
+    args = (jnp.zeros((int(n44),), jnp.float32),
+            jnp.zeros((2,), jnp.uint32),
+            jnp.float32(0.0), jnp.int32(0))
+    path = os.path.join(out_dir, f"fused_{int(n44)}.stablehlo")
+    _export_fn(fn, args, path)
+    meta_path = os.path.join(out_dir, "fused_meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    meta[str(int(n44))] = {
+        "sample_rate": fused_svc.hp["audio_sample_rate"],
+        "hop_size": fused_svc.hp["hop_size"],
+        "speedup": fused_svc.speedup,
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    return path

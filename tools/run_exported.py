@@ -34,13 +34,50 @@ def load_stage(path):
         return jexport.deserialize(f.read()).call
 
 
+def run_fused(args):
+    """--fused: consume a single-dispatch fused artifact — raw wav in,
+    converted wav out; no model code, no feature extraction needed (it is
+    all inside the exported program)."""
+    with open(os.path.join(args.export_dir, "fused_meta.json")) as f:
+        meta = json.load(f)
+    wav = np.load(args.features)
+    if hasattr(wav, "files"):
+        wav = wav["wav"]
+    wav = np.asarray(wav, np.float32).ravel()
+    buckets = sorted(int(k) for k in meta)
+    n44 = next((b for b in buckets if b >= len(wav)), buckets[-1])
+    wav_in = np.zeros((n44,), np.float32)
+    wav_in[: min(len(wav), n44)] = wav[:n44]
+    fused = load_stage(os.path.join(args.export_dir,
+                                    f"fused_{n44}.stablehlo"))
+    key = np.zeros((2,), np.uint32)
+    key[1] = args.seed
+    wav_o, f0_o, mel_o = fused(wav_in, key, np.float32(args.key),
+                               np.int32(0))
+    os.makedirs(args.out, exist_ok=True)
+    for name, arr in [("wav", wav_o), ("f0", f0_o), ("mel", mel_o)]:
+        np.save(os.path.join(args.out, f"{name}.npy"), np.asarray(arr))
+    sr = meta[str(n44)]["sample_rate"]
+    print(f"| fused bucket {n44}: wav {np.asarray(wav_o).shape} ({sr} Hz) "
+          f"-> {args.out}/")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--export_dir", required=True)
     ap.add_argument("--features", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fused", action="store_true",
+                    help="consume a fused_{n}.stablehlo artifact: "
+                         "--features is a raw wav .npy/.npz")
+    ap.add_argument("--key", type=float, default=0.0,
+                    help="semitone shift (fused mode)")
     args = ap.parse_args()
+
+    if args.fused:
+        run_fused(args)
+        return
 
     with open(os.path.join(args.export_dir, "export_meta.json")) as f:
         meta = json.load(f)

@@ -269,7 +269,8 @@ def main():
     last = np.mean([v for _, v in tr_loss[-10:]]) if tr_loss else float("nan")
     log(f"| tr loss first10 {first:.4f} -> last10 {last:.4f}")
     assert step2 == args.steps + args.resume_steps, (step1, step2)
-    assert last < first, "loss did not decrease"
+    if args.steps >= 50:
+        assert last < first, "loss did not decrease"
     print(json.dumps({"metric": "tpu_train_demo", "steps": step2,
                       "loss_first10": round(float(first), 4),
                       "loss_last10": round(float(last), 4),
