@@ -256,14 +256,31 @@ def _leaky(x, slope):
     return jnp.where(x > 0, x, x * slope)
 
 
-def _make_kernel(plan: TailPlan, *, t_b: int, ts: int, halo_pad: int):
+def _make_kernel(plan: TailPlan, *, t_b: int, ts: int, halo_pad: int,
+                 tap_group: int = 8):
     rows = ts + 2 * halo_pad
 
     def conv(wcat_ref, bcat_ref, inr, xin, cp: ConvPlan):
+        # Tap-concatenated contraction: the MXU runs one 128x128 pass per
+        # K-tile (M cycles each) regardless of dtype, so S separate
+        # [rows,128]x[128,128] dots serialize on ONE MXU.  Concatenating
+        # up to ``tap_group`` rolled taps into a single K = G*128 dot lets
+        # Mosaic split the contraction across the TensorCore's parallel
+        # MXUs (same trick that gets diffnet_stack to 73% MFU at K=384).
         z = None
-        for idx, m in enumerate(cp.offsets):
-            xr = _roll(xin, -m) if m else xin
-            w = wcat_ref[cp.w0 + idx].astype(jnp.float32)
+        S = len(cp.offsets)
+        for g0 in range(0, S, tap_group):
+            idxs = list(range(g0, min(g0 + tap_group, S)))
+            if len(idxs) == 1:
+                m = cp.offsets[idxs[0]]
+                xr = _roll(xin, -m) if m else xin
+                w = wcat_ref[cp.w0 + idxs[0]].astype(jnp.float32)
+            else:
+                xr = jnp.concatenate(
+                    [_roll(xin, -cp.offsets[i]) if cp.offsets[i] else xin
+                     for i in idxs], axis=1)
+                w = wcat_ref[cp.w0 + idxs[0]: cp.w0 + idxs[-1] + 1]
+                w = w.astype(jnp.float32).reshape(len(idxs) * LANES, LANES)
             d = jnp.dot(xr, w, preferred_element_type=jnp.float32)
             z = d if z is None else z + d
         z = z + bcat_ref[cp.bi]
