@@ -265,15 +265,16 @@ def main():
     with open(f"{args.out}/summary.json", "w") as f:
         json.dump(summary, f, indent=1)
     shutil.copy(cfg_path, f"{args.out}/config.yaml")
-    first = np.mean([v for _, v in tr_loss[:10]]) if tr_loss else float("nan")
-    last = np.mean([v for _, v in tr_loss[-10:]]) if tr_loss else float("nan")
-    log(f"| tr loss first10 {first:.4f} -> last10 {last:.4f}")
+    curve = val_loss or tr_loss   # val is logged every val_check_interval
+    first = curve[0][1] if curve else float("nan")
+    last = curve[-1][1] if curve else float("nan")
+    log(f"| loss first {first:.4f} -> last {last:.4f}")
     assert step2 == args.steps + args.resume_steps, (step1, step2)
     if args.steps >= 50:
         assert last < first, "loss did not decrease"
     print(json.dumps({"metric": "tpu_train_demo", "steps": step2,
-                      "loss_first10": round(float(first), 4),
-                      "loss_last10": round(float(last), 4),
+                      "loss_first": round(float(first), 4),
+                      "loss_last": round(float(last), 4),
                       "steps_per_s": summary["resume"]["steps_per_s"]}))
     log(f"| summary written to {args.out}/summary.json")
 
