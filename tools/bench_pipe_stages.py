@@ -161,6 +161,34 @@ def main():
     timeit("single denoiser step (DiffNet 20L x 384ch)",
            step_fn, params, x_ex, tb_ex, c_ex)
 
+    # condition assembly (FS2 no_fs2 path: gather + pitch/energy embeds)
+    from diffsvc_tpu.models import fs2
+
+    timeit("cond assembly (fs2 no_fs2: gather+embeds)",
+           lambda p, b: fs2.apply(p["fs2"], model.fs2_cfg, b["hubert"],
+                                  b["mel2ph"], b["f0"], b["uv"],
+                                  jnp.zeros_like(b["f0"]))["decoder_inp"],
+           params, batch)
+
+    # NSF harmonic source at full audio rate (sine_gen cumsums + noise)
+    from diffsvc_tpu.vocoders import generator as gen
+
+    src_p = gen.init_source_module(jax.random.PRNGKey(5))
+    f0_up = jnp.asarray(np.abs(rng.randn(1, T * HOP)).astype(np.float32)
+                        * 80 + 180)
+    timeit("NSF source (sine_gen + merge) @ audio rate",
+           lambda p, f, k: gen.source_module(p, k, f, SR)[0],
+           src_p, f0_up, key)
+
+    # host fetch of the full output waveform (the one big device->host copy
+    # in serving; n44 f32 over the tunnel)
+    big = jnp.zeros((n44,), jnp.float32) + 1.0
+    t0 = time.time()
+    for _ in range(3):
+        np.asarray(big)
+    log(f"| fetch {n44*4/1e6:.1f} MB wav out: {(time.time()-t0)/3*1e3:.1f} "
+        "ms/fetch (host copy, unamortizable)")
+
 
 if __name__ == "__main__":
     main()
