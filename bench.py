@@ -244,6 +244,7 @@ def main():
     # bf16 pipeline + fused Pallas vocoder tail (ops/pallas/vocoder_tail.py)
     # — the production serving config setup_serving picks on TPU
     rtf_tail = float("nan")
+    rtf_i16 = float("nan")
     fused_prod = fused_mix
     tail_built = gen.build_tail_params(voc_params, voc_packed.run_params,
                                        voc_cfg, 128)
@@ -265,6 +266,23 @@ def main():
         log(f"| fused RTF bf16+pallas-tail-voc: {rtf_tail:.4f} (runs: "
             + " ".join(f"{t:.3f}" for t in tail_times) + ")")
         fused_prod = fused_tail
+
+        # + int16 device output (the wire format; halves the ~24 ms output
+        # fetch over the tunnel — what flask/VST serving actually ships)
+        hp_i16 = dict(hp_mix)
+        hp_i16["fused_output_int16"] = True
+        fused_i16 = FusedSvc(hp_i16, params, voc_tail,
+                             hubert_params=hub_params, hubert_cfg=hub_cfg,
+                             speedup=SPEEDUP)
+        _sync(fused_i16(wav))
+        i16_times = []
+        for i in range(8):
+            t0 = time.time()
+            _sync(fused_i16(wav, rng=jax.random.PRNGKey(500 + i)))
+            i16_times.append(time.time() - t0)
+        rtf_i16 = min(i16_times) / SECS
+        log(f"| fused RTF bf16+tail+int16-out: {rtf_i16:.4f} (runs: "
+            + " ".join(f"{t:.3f}" for t in i16_times) + ")")
 
     # steady-state serving throughput: 4 dispatches in flight, sync once —
     # amortizes the per-call host->device round trip (the tunnel on this
@@ -311,6 +329,7 @@ def main():
         "rtf_bf16": round(rtf_bf16, 5),
         "rtf_bf16_packed_voc": round(rtf_mix, 5),
         "rtf_bf16_pallas_tail": round(rtf_tail, 5) if rtf_tail == rtf_tail else None,
+        "rtf_int16_out": round(rtf_i16, 5) if rtf_i16 == rtf_i16 else None,
         "rtf_pipelined": round(rtf_tp, 5),
         "rtf_batched": round(rtf_batched, 5),
     }))

@@ -81,6 +81,15 @@ def norm_interp_f0_device(f0, pitch_norm: str = "log",
 class FusedSvc:
     """Builds and caches per-length fused inference programs."""
 
+    @staticmethod
+    def to_float(wav):
+        """Decode a fused output waveform: int16 (fused_output_int16 mode)
+        -> float32 in [-1, 1]; float passes through.  Host-side numpy."""
+        w = np.asarray(wav)
+        if w.dtype == np.int16:
+            return w.astype(np.float32) / 32767.0
+        return w
+
     def __init__(self, hp, params, vocoder, hubert_params=None,
                  hubert_cfg=None, speedup: int = 20,
                  compute_dtype: Optional[str] = None):
@@ -239,7 +248,16 @@ class FusedSvc:
             else:
                 wav_out = gen.apply(voc_params, voc.cfg, voc_in, f0_voc,
                                     jax.random.fold_in(rng, 7), dtype=dtype)
-            return wav_out[0], f0_voc[0], mel_pred[0]
+            wav1 = wav_out[0]
+            if bool(hp.get("fused_output_int16", False)):
+                # serve the wire format: every consumer (save_wav, the
+                # flask/VST response) quantizes to int16 anyway, and the
+                # single big device->host copy halves (measured 23.8 ms
+                # for the f32 waveform over the bench tunnel).  Decode
+                # with FusedSvc.to_float.
+                wav1 = jnp.round(jnp.clip(wav1, -1.0, 1.0) * 32767.0
+                                 ).astype(jnp.int16)
+            return wav1, f0_voc[0], mel_pred[0]
 
         return fused
 

@@ -28,15 +28,19 @@ def _infer_wav(model, acc, wav_bytes: bytes, f_pitch_change: float,
         # bounded-latency path: the whole pipeline is one XLA program per
         # length bucket (set fused_bucket_samples in the config to bound
         # the number of compiled buckets for streaming buffers)
+        from diffsvc_tpu.infer.fused import FusedSvc
         from diffsvc_tpu.utils.audio_io import load_wav
 
         wav, _ = load_wav(input_wav, sr=model.hp["audio_sample_rate"])
         true_len = len(wav)
         model.hp.setdefault("fused_bucket_samples",
                             model.hp["hop_size"] * 256)
+        # int16 device output: the response is int16 anyway and the big
+        # device->host waveform copy halves (doc/performance.md)
+        model.hp.setdefault("fused_output_int16", True)
         _audio, _f0, _mel = model.infer_fused(wav, key=int(f_pitch_change),
                                               acc=acc)
-        _audio = np.asarray(_audio)[:true_len]
+        _audio = FusedSvc.to_float(_audio)[:true_len]
     else:
         _f0_tst, _f0_pred, _audio = model.infer(
             input_wav, key=f_pitch_change, acc=acc, use_pe=False,

@@ -221,3 +221,24 @@ def test_bucket_set_bounded(fused_model):
     buckets = {k for k in fs._fns if not isinstance(k, tuple)}
     assert buckets <= {2048 * m for m in range(1, 5)}
     assert len(buckets) <= 4
+
+
+def test_int16_output_mode(fused_model):
+    """fused_output_int16 serves the int16 wire format from the device;
+    decoded output must match the float path to 1 LSB (1/32767)."""
+    from diffsvc_tpu.config import HParams
+
+    t = np.arange(6000) / 8000
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    ref_w, _, ref_m = fused_model(wav, rng=jax.random.PRNGKey(5))
+
+    hp2 = HParams(**{**fused_model.hp, "fused_output_int16": True})
+    fs = FusedSvc(hp2, fused_model.params, fused_model.vocoder,
+                  hubert_params=fused_model.hub_params,
+                  hubert_cfg=fused_model.hub_cfg, speedup=5)
+    got_w, _, got_m = fs(wav, rng=jax.random.PRNGKey(5))
+    assert np.asarray(got_w).dtype == np.int16
+    dec = FusedSvc.to_float(got_w)
+    np.testing.assert_allclose(dec, np.clip(np.asarray(ref_w), -1, 1),
+                               atol=1.01 / 32767)
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
