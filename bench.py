@@ -283,6 +283,7 @@ def main():
         rtf_i16 = min(i16_times) / SECS
         log(f"| fused RTF bf16+tail+int16-out: {rtf_i16:.4f} (runs: "
             + " ".join(f"{t:.3f}" for t in i16_times) + ")")
+        fused_prod = fused_i16
 
     # steady-state serving throughput: 4 dispatches in flight, sync once —
     # amortizes the per-call host->device round trip (the tunnel on this
@@ -318,7 +319,10 @@ def main():
     # behind another variant winning the run.  Per-variant minima ride
     # along as diagnostic fields; min-of-8 per variant guards against
     # tunnel-latency variance only.
-    rtf = rtf_tail if rtf_tail == rtf_tail else rtf_mix  # NaN-safe pick
+    # production = fused + pallas tail + int16 wire output (what the
+    # serving entrypoints default to on TPU); NaN-safe fallback chain
+    rtf = rtf_i16 if rtf_i16 == rtf_i16 else (
+        rtf_tail if rtf_tail == rtf_tail else rtf_mix)
     log(f"| end-to-end RTF (production fused serving): {rtf:.4f} (target < 0.05)")
     print(json.dumps({
         "metric": "e2e_rtf_44k1_10s_acc20",

@@ -32,6 +32,7 @@ class DiffNetConfig(NamedTuple):
     dilation_cycle_length: int = 4
     remat: bool = False         # rematerialize each dilation cycle in bwd
     pallas_stack: str = "auto"  # auto/on (TPU bf16 inference) | off | interpret (CPU tests)
+    pallas_train: str = "off"   # fused fwd+bwd training kernel: auto/on | off | interpret
 
     @classmethod
     def from_hparams(cls, hp):
@@ -43,6 +44,7 @@ class DiffNetConfig(NamedTuple):
             dilation_cycle_length=hp["dilation_cycle_length"],
             remat=bool(hp.get("use_remat", False)),
             pallas_stack=str(hp.get("diffnet_pallas", "auto")),
+            pallas_train=str(hp.get("diffnet_pallas_train", "off")),
         )
 
 
@@ -157,6 +159,39 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
                 params["layers"]["output_projection"]["b"],
                 cycle=cycle, interpret=(mode == "interpret"))
             x = (skip_sum[None] * (1.0 / math.sqrt(n_layers))).astype(x.dtype)
+            x = nn.conv1d(params["skip_projection"], x)
+            x = jax.nn.relu(x)
+            return nn.conv1d(params["output_projection"], x)
+
+    # --- fused fwd+bwd training kernel (custom VJP around the same
+    # residual-stack kernel; ops/pallas/diffnet_stack.residual_stack_train).
+    # Saves only each layer's input x_l and recomputes the gates in a
+    # single reverse-order backward kernel that also produces the weight /
+    # conditioner / step-bias grads. fp32 activations are allowed here:
+    # Mosaic's f32 dots are bf16-operand/f32-accumulate — the SAME
+    # precision as XLA's default training matmuls (parity to default-
+    # precision accuracy, tests/test_diffnet_stack_train.py).
+    tmode = cfg.pallas_train
+    if (not inference) and tmode in ("auto", "on", "interpret"):
+        from ..ops.pallas import diffnet_stack as _stack
+
+        want = tmode == "interpret" or jax.default_backend() == "tpu"
+        if want and _stack.supported_train(n_layers, cycle, t_len, c):
+            dp = params["layers"]["diffusion_projection"]
+            sb = (jnp.einsum("bc,lcd->lbd", step, dp["w"])
+                  + dp["b"][:, None, :]).astype(x.dtype)   # [L, B, C]
+            wd = params["layers"]["dilated_conv"]["w"]
+            bd = params["layers"]["dilated_conv"]["b"]
+            wo = params["layers"]["output_projection"]["w"][:, 0]
+            bo = params["layers"]["output_projection"]["b"]
+            interp = tmode == "interpret"
+
+            def one(x1, sb1, cp1):
+                return _stack.residual_stack_train(
+                    x1, sb1, cp1, wd, bd, wo, bo, cycle, interp)
+
+            skip_sum = jax.vmap(one, in_axes=(0, 1, 1))(x, sb, cond_proj)
+            x = (skip_sum * (1.0 / math.sqrt(n_layers))).astype(x.dtype)
             x = nn.conv1d(params["skip_projection"], x)
             x = jax.nn.relu(x)
             return nn.conv1d(params["output_projection"], x)

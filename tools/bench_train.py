@@ -80,9 +80,12 @@ def main():
     # compute, not host->device transfer (which training pipelines overlap)
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    for precision in ("bfloat16", "BF16_BF16_F32_X3", "highest"):
-        with jax.default_matmul_precision(precision):
-            task = SVCTask(hp)
+    variants = [("bfloat16", hp), ("BF16_BF16_F32_X3", hp), ("highest", hp),
+                ("bfloat16+pallas_train",
+                 HParams(**dict(hp, diffnet_pallas_train="on")))]
+    for precision, hp_v in variants:
+        with jax.default_matmul_precision(precision.split("+")[0]):
+            task = SVCTask(hp_v)
             state = task.init_state()
             key = jax.random.PRNGKey(0)
             # warmup (compile + 2 steps)
