@@ -32,7 +32,7 @@ class DiffNetConfig(NamedTuple):
     dilation_cycle_length: int = 4
     remat: bool = False         # rematerialize each dilation cycle in bwd
     pallas_stack: str = "auto"  # auto/on (TPU bf16 inference) | off | interpret (CPU tests)
-    pallas_train: str = "off"   # fused fwd+bwd training kernel: auto/on | off | interpret
+    pallas_train: str = "auto"  # fused fwd+bwd training kernel: auto/on (TPU) | off | interpret
 
     @classmethod
     def from_hparams(cls, hp):
@@ -44,7 +44,7 @@ class DiffNetConfig(NamedTuple):
             dilation_cycle_length=hp["dilation_cycle_length"],
             remat=bool(hp.get("use_remat", False)),
             pallas_stack=str(hp.get("diffnet_pallas", "auto")),
-            pallas_train=str(hp.get("diffnet_pallas_train", "off")),
+            pallas_train=str(hp.get("diffnet_pallas_train", "auto")),
         )
 
 
@@ -175,7 +175,12 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
     if (not inference) and tmode in ("auto", "on", "interpret"):
         from ..ops.pallas import diffnet_stack as _stack
 
-        want = tmode == "interpret" or jax.default_backend() == "tpu"
+        # single-device only for now: under a data-sharded mesh the SPMD
+        # partitioner would have to partition the vmapped pallas custom
+        # call, which is unvalidated on real multi-chip hardware — the
+        # differentiable scan below is the multi-chip path
+        want = tmode == "interpret" or (jax.default_backend() == "tpu"
+                                        and len(jax.devices()) == 1)
         if want and _stack.supported_train(n_layers, cycle, t_len, c):
             dp = params["layers"]["diffusion_projection"]
             sb = (jnp.einsum("bc,lcd->lbd", step, dp["w"])
