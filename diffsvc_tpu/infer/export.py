@@ -136,7 +136,15 @@ def export_fused(fused_svc, out_dir: str, n44: int) -> str:
     tests/test_export_misc.py.
     """
     os.makedirs(out_dir, exist_ok=True)
-    fused = fused_svc._build(int(n44), use_voc_tail=False)
+    from ..models.diffusion import GaussianDiffusion
+
+    # force XLA everywhere: Mosaic tpu_custom_calls (the diffnet stack on a
+    # TPU host, the vocoder tail) would make the artifact non-portable and
+    # jax.export rejects them as non-stability-guaranteed
+    hp_x = dict(fused_svc.hp)
+    hp_x["diffnet_pallas"] = "off"
+    fused = fused_svc._build(int(n44), model=GaussianDiffusion(hp_x),
+                             use_voc_tail=False)
     params = fused_svc.params
     hub_params = fused_svc.hub_params
     voc_params = fused_svc._voc_run_params()

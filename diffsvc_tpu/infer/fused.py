@@ -369,7 +369,8 @@ class FusedSvc:
 
         from ..models.diffusion import GaussianDiffusion
 
-        key = ("sharded", n44, tuple(d.id for d in mesh.devices.flat))
+        key = ("sharded", n44, tuple(mesh.shape.items()),
+               tuple(d.id for d in mesh.devices.flat))
         if key not in self._fns:
             hp_b = dict(self.hp)
             hp_b["diffnet_pallas"] = "off"   # not vmap/shard-safe

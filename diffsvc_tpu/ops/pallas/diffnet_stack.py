@@ -437,10 +437,13 @@ def residual_stack_train(x0, step_bias, cond_proj, wd, bd, wo, bo,
     """Differentiable fused residual stack (single sample [T, C]; vmap over
     the batch axis adds a leading grid dimension).  Forward saves each
     layer's input x_l; backward recomputes gates and emits all grads in one
-    reverse-order kernel."""
-    out, _ = _call_fwd(x0, step_bias, cond_proj, wd, bd, wo, bo,
-                       cycle=cycle, interpret=interpret)
-    return out
+    reverse-order kernel.
+
+    The undifferentiated primal (validation/eval losses) reuses the
+    inference kernel — no [L, T, C] residual stack is streamed to HBM
+    when no backward pass will consume it."""
+    return residual_stack(x0, step_bias, cond_proj, wd, bd, wo, bo,
+                          cycle=cycle, interpret=interpret)
 
 
 def _rst_fwd(x0, step_bias, cond_proj, wd, bd, wo, bo, cycle, interpret):

@@ -47,7 +47,11 @@ def vocoder_weights_available(hp) -> bool:
     search_dir = ckpt if os.path.isdir(ckpt) else os.path.dirname(ckpt)
     if not os.path.isdir(search_dir):
         return False
-    pats = ("model_ckpt_steps_*.ckpt", "model", "g_*", "generator*")
+    # every filename shape the wrapper loaders actually accept:
+    # hifigan.py globs model_ckpt_steps_*.* (any extension), the NSF
+    # wrapper loads a bare 'model', pwg loads checkpoint-*steps.pkl
+    pats = ("model_ckpt_steps_*.*", "model", "g_*", "generator*",
+            "checkpoint-*steps.pkl")
     return any(_glob.glob(os.path.join(search_dir, p)) for p in pats)
 
 

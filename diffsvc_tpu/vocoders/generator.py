@@ -306,6 +306,12 @@ def apply_packed(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None,
     several times faster on the MXU for the C<128 tail stages."""
     from ..ops import packed_conv as pc
 
+    if "wcat" in params:
+        # a Pallas-tail params dict (plain/packed/wcat/bcat) from
+        # setup_serving: callers like the modular Svc batch-vocoder pass
+        # wrapper.run_params directly — unwrap to the packed kernels
+        params = params["packed"]
+
     sched = pack_schedule(cfg, lane_target)
     total_up = int(np.prod(cfg.upsample_rates))
     har_source = None
@@ -477,6 +483,11 @@ def apply_tail(tp: dict, cfg: HifiGanConfig, mel, f0=None, rng=None, *,
                 packed["noise_convs_packed"][i], har_source,
                 k=k_nc, s=s_nc, P=p_st)
             slabs.append(xsrc[0, :t_b])
+    # the kernel DMAs exactly plan.n_in slabs; an NSF plan run without f0
+    # (spec2wav's no-f0 branch) must feed ZERO injections — adding zeros
+    # matches apply_packed's skip-the-injection behavior exactly
+    while len(slabs) < plan.n_in:
+        slabs.append(jnp.zeros_like(slabs[0]))
     y = vt.tail(jnp.stack(slabs), tp["wcat"], tp["bcat"], plan, t_b=t_b,
                 ts=ts, interpret=interpret)
     return y.reshape(1, t_b * plan.p_fin)

@@ -110,3 +110,38 @@ def test_supported_gate():
     assert vt.supported(plan, 1)
     assert not vt.supported(plan, 2)          # batch != 1
     assert not vt.supported(None, 1)
+
+
+def test_apply_packed_unwraps_tail_params_dict():
+    """Review r3 fix: setup_serving replaces wrapper.run_params with the
+    tail-params dict; the modular Svc batch-vocoder passes that dict to
+    gen.apply_packed directly and must get the packed kernels, not a
+    KeyError."""
+    from types import SimpleNamespace
+
+    params, packed, (plan, tp) = _build(CFG_S0)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (1, 16, CFG_S0.num_mels))
+    f0 = 200.0 * jnp.ones((1, 16))
+    rng = jax.random.PRNGKey(1)
+    ref = gen.apply_packed(packed, CFG_S0, mel, f0, rng)
+    got = gen.apply_packed(tp, CFG_S0, mel, f0, rng)   # the dict form
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # and the full setup_serving wiring produces that dict shape
+    w = SimpleNamespace(params=params, cfg=CFG_S0)
+    gen.setup_serving(w, {"vocoder_channel_pack": "on",
+                          "vocoder_pallas_tail": "on"})
+    assert w.tail_plan is not None and "wcat" in w.run_params
+
+
+def test_apply_tail_no_f0_matches_packed():
+    """Review r3 fix: an NSF plan run without f0 (spec2wav's no-f0 branch)
+    must feed zero injections, matching apply_packed's skip-injection
+    path — not re-DMA slab 0 as a bogus harmonic source."""
+    _, packed, (plan, tp) = _build(CFG_S0)
+    assert plan.n_in > 1
+    mel = jax.random.normal(jax.random.PRNGKey(2), (1, 20, CFG_S0.num_mels))
+    ref = gen.apply_packed(packed, CFG_S0, mel, None, None)
+    got = gen.apply_tail(tp, CFG_S0, mel, None, None, plan=plan,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)

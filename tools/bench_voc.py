@@ -92,8 +92,8 @@ def main():
 
     t_plain, o_plain = bench("plain fp32", gen.apply, params, None)
     t_pack, o_pack = bench("packed fp32", apply_packed, packed, None)
-    err = float(np.max(np.abs(np.asarray(o_plain) - np.asarray(o_pack))))
-    log(f"| fp32 max abs delta plain vs packed: {err:.2e}")
+    err_pack = float(np.max(np.abs(np.asarray(o_plain) - np.asarray(o_pack))))
+    log(f"| fp32 max abs delta plain vs packed: {err_pack:.2e}")
     t_tail = float("nan")
     built = gen.build_tail_params(params, packed, cfg, args.lanes)
     if built is not None:
@@ -105,15 +105,16 @@ def main():
             return gen.apply_tail(pp, c, m, f0v, k, plan=plan, ts=args.ts)
 
         t_tail, o_tail = bench("pallas tail", apply_tail, tp, None)
-        err = float(np.max(np.abs(np.asarray(o_pack) - np.asarray(o_tail))))
-        log(f"| max abs delta packed fp32 vs pallas tail (bf16 taps): {err:.2e}")
+        err_tail = float(np.max(np.abs(np.asarray(o_pack) - np.asarray(o_tail))))
+        log(f"| max abs delta packed fp32 vs pallas tail (bf16 taps): {err_tail:.2e}")
     t_plain_bf, _ = bench("plain bf16", gen.apply, params, jnp.bfloat16)
     t_pack_bf, _ = bench("packed bf16", apply_packed, packed, jnp.bfloat16)
     log(f"| SPEEDUP fp32: {t_plain/t_pack:.2f}x   bf16: {t_plain_bf/t_pack_bf:.2f}x")
     print(f'{{"plain_fp32_ms": {t_plain*1e3:.1f}, "packed_fp32_ms": {t_pack*1e3:.1f}, '
           f'"plain_bf16_ms": {t_plain_bf*1e3:.1f}, "packed_bf16_ms": {t_pack_bf*1e3:.1f}, '
-          f'"pallas_tail_ms": {t_tail*1e3:.1f}, '
-          f'"max_abs_delta_fp32": {err:.3e}}}')
+          + (f'"pallas_tail_ms": {t_tail*1e3:.1f}, ' if t_tail == t_tail
+             else '"pallas_tail_ms": null, ')
+          + f'"max_abs_delta_fp32": {err_pack:.3e}}}')
 
 
 if __name__ == "__main__":

@@ -46,6 +46,10 @@ def run_fused(args):
     wav = np.asarray(wav, np.float32).ravel()
     buckets = sorted(int(k) for k in meta)
     n44 = next((b for b in buckets if b >= len(wav)), buckets[-1])
+    if len(wav) > n44:
+        print(f"| WARNING: input has {len(wav)} samples but the largest "
+              f"exported bucket is {n44} — converting only the first "
+              f"{n44} samples (export more buckets to cover longer audio)")
     wav_in = np.zeros((n44,), np.float32)
     wav_in[: min(len(wav), n44)] = wav[:n44]
     fused = load_stage(os.path.join(args.export_dir,
