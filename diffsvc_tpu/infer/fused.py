@@ -284,18 +284,12 @@ class FusedSvc:
         throughput headroom without touching the graph."""
         key = ("batched", n44)
         if key not in self._fns:
-            from ..models.diffusion import GaussianDiffusion
-
-            # the Pallas residual-stack kernel carries VMEM state across a
-            # layer grid and is not vmap-safe; the batched graph uses the
-            # XLA scan denoiser
-            hp_b = dict(self.hp)
-            hp_b["diffnet_pallas"] = "off"
-            # the Pallas vocoder tail is likewise single-stream (manual DMA
-            # windows over a time grid); the batched graph keeps the XLA
-            # packed vocoder
-            fused = self._build(n44, model=GaussianDiffusion(hp_b),
-                                use_voc_tail=False)
+            # the Pallas residual-stack kernel vmaps correctly (the
+            # sample axis becomes a leading grid dimension; parity tested
+            # in tests/test_diffnet_stack.py), so the batched graph keeps
+            # it.  The Pallas vocoder TAIL stays off here: its manual DMA
+            # windows over an ANY-space ref do not lift under vmap.
+            fused = self._build(n44, use_voc_tail=False)
             self._fns[key] = jax.jit(jax.vmap(
                 fused, in_axes=(None, None, None, 0, 0, 0, None)))
         return self._fns[key]

@@ -147,18 +147,29 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
         # dots are single-pass bf16; see diffnet_stack.supported).
         want = mode == "interpret" or jax.default_backend() == "tpu"
         esz = 2 if mode == "interpret" else x.dtype.itemsize
-        if want and _stack.supported(n_layers, cycle, t_len, c, b, esize=esz):
+        if want and _stack.supported(n_layers, cycle, t_len, c, 1, esize=esz):
             dp = params["layers"]["diffusion_projection"]
-            step_bias = (jnp.einsum("bc,lcd->lbd", step, dp["w"])
-                         + dp["b"][:, None, :])[:, 0].astype(x.dtype)
-            skip_sum = _stack.residual_stack(
-                x[0], step_bias, cond_proj[:, 0],
-                params["layers"]["dilated_conv"]["w"],
-                params["layers"]["dilated_conv"]["b"],
-                params["layers"]["output_projection"]["w"][:, 0],
-                params["layers"]["output_projection"]["b"],
-                cycle=cycle, interpret=(mode == "interpret"))
-            x = (skip_sum[None] * (1.0 / math.sqrt(n_layers))).astype(x.dtype)
+            sb = (jnp.einsum("bc,lcd->lbd", step, dp["w"])
+                  + dp["b"][:, None, :]).astype(x.dtype)     # [L, B, C]
+            wd = params["layers"]["dilated_conv"]["w"]
+            bd = params["layers"]["dilated_conv"]["b"]
+            wo = params["layers"]["output_projection"]["w"][:, 0]
+            bo = params["layers"]["output_projection"]["b"]
+            interp = mode == "interpret"
+            if b == 1:
+                skip_sum = _stack.residual_stack(
+                    x[0], sb[:, 0], cond_proj[:, 0], wd, bd, wo, bo,
+                    cycle=cycle, interpret=interp)[None]
+            else:
+                # batched serving: vmap lifts the sample axis to a leading
+                # grid dimension (scratch re-inits at layer 0 per sample —
+                # same order the training kernel relies on; parity tested)
+                skip_sum = jax.vmap(
+                    lambda x1, sb1, cp1: _stack.residual_stack(
+                        x1, sb1, cp1, wd, bd, wo, bo, cycle=cycle,
+                        interpret=interp),
+                    in_axes=(0, 1, 1))(x, sb, cond_proj)
+            x = (skip_sum * (1.0 / math.sqrt(n_layers))).astype(x.dtype)
             x = nn.conv1d(params["skip_projection"], x)
             x = jax.nn.relu(x)
             return nn.conv1d(params["output_projection"], x)

@@ -97,3 +97,31 @@ def test_pallas_stack_training_path_unaffected():
     g = jax.grad(loss)(params)
     gn = jax.tree.leaves(jax.tree.map(lambda a: jnp.sum(jnp.abs(a)), g))
     assert np.isfinite(np.asarray(gn, np.float32)).all()
+
+
+def test_vmapped_inference_stack_matches_scan():
+    """vmap of the inference residual_stack (batched serving): the sample
+    axis becomes a leading grid dim; each sample's VMEM scratch re-inits
+    at layer 0 — outputs must match per-sample scan results."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffsvc_tpu.models import diffnet
+
+    L, CYC, T, C, B = 4, 2, 128, 128, 3
+    cfg = diffnet.DiffNetConfig(
+        in_dims=16, encoder_hidden=32, residual_layers=L,
+        residual_channels=C, dilation_cycle_length=CYC)
+    params = diffnet.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    spec = jnp.asarray(rng.randn(B, T, 16), jnp.float32)
+    tstep = jnp.asarray([2, 9, 15], jnp.int32)
+    cond = jnp.asarray(rng.randn(B, T, 32) * 0.3, jnp.float32)
+
+    ref = diffnet.apply(params, cfg._replace(pallas_stack="off"),
+                        spec, tstep, cond, inference=True)
+    got = diffnet.apply(params, cfg._replace(pallas_stack="interpret"),
+                        spec, tstep, cond, inference=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
