@@ -193,59 +193,32 @@ def main():
         # yielding bogus sub-ms timings; a host read cannot
         np.asarray(out[0][-4:])
 
-    log("| fused warmup (compile)...")
-    t0 = time.time()
-    _sync(fused(wav))
-    log(f"| fused warmup {time.time() - t0:.1f}s")
-    fused_times = []
-    for i in range(8):  # min-of-8: the shared tunnel's load varies 1.5-2x
-        t0 = time.time()
-        _sync(fused(wav, rng=jax.random.PRNGKey(100 + i)))
-        fused_times.append(time.time() - t0)
-    rtf_fused = min(fused_times) / SECS
-    log(f"| fused RTF fp32: {rtf_fused:.4f} (runs: "
-        + " ".join(f"{t:.3f}" for t in fused_times) + ")")
+    # --- all fused variants, timed ROUND-ROBIN: the tunnel's load drifts
+    # on minute scales, so sequential per-variant loops produce
+    # self-contradictory orderings (an int16-output variant once measured
+    # SLOWER than its own float base). Interleaving one call per variant
+    # per round gives every variant the same drift.
+    variants = {"fp32": fused}
 
-    # bf16 sampling + vocoder + hubert variant
     hp["diff_compute_dtype"] = "bfloat16"
     hp["voc_compute_dtype"] = "bfloat16"
     hp["hubert_compute_dtype"] = "bfloat16"
-    fused_bf16 = FusedSvc(hp, params, voc, hubert_params=hub_params,
-                          hubert_cfg=hub_cfg, speedup=SPEEDUP)
-    _sync(fused_bf16(wav))
-    bf16_times = []
-    for i in range(8):
-        t0 = time.time()
-        _sync(fused_bf16(wav, rng=jax.random.PRNGKey(200 + i)))
-        bf16_times.append(time.time() - t0)
-    rtf_bf16 = min(bf16_times) / SECS
-    log(f"| fused RTF bf16: {rtf_bf16:.4f} (runs: "
-        + " ".join(f"{t:.3f}" for t in bf16_times) + ")")
+    variants["bf16"] = FusedSvc(hp, params, voc, hubert_params=hub_params,
+                                hubert_cfg=hub_cfg, speedup=SPEEDUP)
 
-    # bf16 pipeline + channel-packed fp32 vocoder (tools/bench_voc.py: packed
-    # fp32 beats both plain fp32 and plain bf16; packed bf16 regresses)
+    # bf16 pipeline + channel-packed fp32 vocoder (tools/bench_voc.py:
+    # packed fp32 beats both plain fp32 and plain bf16; packed bf16
+    # regresses — BASELINE.md r3: MXU pass-bound + bf16 tile relayouts)
     hp_mix = dict(hp)
     hp_mix["voc_compute_dtype"] = ""
     voc_packed = SimpleNamespace(
         params=voc_params, cfg=voc_cfg, pack_lanes=128,
         run_params=gen.pack_params(voc_params, voc_cfg, 128))
-    fused_mix = FusedSvc(hp_mix, params, voc_packed, hubert_params=hub_params,
-                         hubert_cfg=hub_cfg, speedup=SPEEDUP)
-    _sync(fused_mix(wav))
-    mix_times = []
-    for i in range(8):
-        t0 = time.time()
-        _sync(fused_mix(wav, rng=jax.random.PRNGKey(300 + i)))
-        mix_times.append(time.time() - t0)
-    rtf_mix = min(mix_times) / SECS
-    log(f"| fused RTF bf16+packed-fp32-voc: {rtf_mix:.4f} (runs: "
-        + " ".join(f"{t:.3f}" for t in mix_times) + ")")
+    variants["bf16_packed_voc"] = FusedSvc(
+        hp_mix, params, voc_packed, hubert_params=hub_params,
+        hubert_cfg=hub_cfg, speedup=SPEEDUP)
 
-    # bf16 pipeline + fused Pallas vocoder tail (ops/pallas/vocoder_tail.py)
-    # — the production serving config setup_serving picks on TPU
-    rtf_tail = float("nan")
-    rtf_i16 = float("nan")
-    fused_prod = fused_mix
+    # + fused Pallas vocoder tail (ops/pallas/vocoder_tail.py)
     tail_built = gen.build_tail_params(voc_params, voc_packed.run_params,
                                        voc_cfg, 128)
     if tail_built is not None:
@@ -253,40 +226,43 @@ def main():
         voc_tail = SimpleNamespace(
             params=voc_params, cfg=voc_cfg, pack_lanes=128,
             run_params=tail_params, tail_plan=plan)
-        fused_tail = FusedSvc(hp_mix, params, voc_tail,
-                              hubert_params=hub_params, hubert_cfg=hub_cfg,
-                              speedup=SPEEDUP)
-        _sync(fused_tail(wav))
-        tail_times = []
-        for i in range(8):
-            t0 = time.time()
-            _sync(fused_tail(wav, rng=jax.random.PRNGKey(400 + i)))
-            tail_times.append(time.time() - t0)
-        rtf_tail = min(tail_times) / SECS
-        log(f"| fused RTF bf16+pallas-tail-voc: {rtf_tail:.4f} (runs: "
-            + " ".join(f"{t:.3f}" for t in tail_times) + ")")
-        fused_prod = fused_tail
+        variants["bf16_pallas_tail"] = FusedSvc(
+            hp_mix, params, voc_tail, hubert_params=hub_params,
+            hubert_cfg=hub_cfg, speedup=SPEEDUP)
 
     # + int16 device output (the wire format; halves the ~24 ms output
-    # fetch over the tunnel — what flask/VST serving actually ships).
-    # Independent of the Pallas tail: measured with the best vocoder
-    # config available so the headline always reflects production.
+    # fetch over the tunnel — what flask/VST serving actually ships)
     voc_best = voc_tail if tail_built is not None else voc_packed
     hp_i16 = dict(hp_mix)
     hp_i16["fused_output_int16"] = True
-    fused_i16 = FusedSvc(hp_i16, params, voc_best,
-                         hubert_params=hub_params, hubert_cfg=hub_cfg,
-                         speedup=SPEEDUP)
-    _sync(fused_i16(wav))
-    i16_times = []
+    variants["int16_out"] = FusedSvc(
+        hp_i16, params, voc_best, hubert_params=hub_params,
+        hubert_cfg=hub_cfg, speedup=SPEEDUP)
+
+    log("| fused warmup (compile all variants)...")
+    t0 = time.time()
+    for name, f in variants.items():
+        _sync(f(wav))
+    log(f"| fused warmup {time.time() - t0:.1f}s")
+
+    times = {name: [] for name in variants}
     for i in range(8):
-        t0 = time.time()
-        _sync(fused_i16(wav, rng=jax.random.PRNGKey(500 + i)))
-        i16_times.append(time.time() - t0)
-    rtf_i16 = min(i16_times) / SECS
-    log(f"| fused RTF int16-out (best voc): {rtf_i16:.4f} (runs: "
-        + " ".join(f"{t:.3f}" for t in i16_times) + ")")
-    fused_prod = fused_i16
+        for name, f in variants.items():
+            t0 = time.time()
+            _sync(f(wav, rng=jax.random.PRNGKey(100 + i)))
+            times[name].append(time.time() - t0)
+    rtfs = {}
+    for name in variants:
+        rtfs[name] = min(times[name]) / SECS
+        log(f"| fused RTF {name}: {rtfs[name]:.4f} (runs: "
+            + " ".join(f"{t:.3f}" for t in times[name]) + ")")
+    rtf_fused = rtfs["fp32"]
+    rtf_bf16 = rtfs["bf16"]
+    rtf_mix = rtfs["bf16_packed_voc"]
+    rtf_tail = rtfs.get("bf16_pallas_tail", float("nan"))
+    rtf_i16 = rtfs["int16_out"]
+    fused_mix = variants["bf16_packed_voc"]
+    fused_prod = variants["int16_out"]
 
     # steady-state serving throughput: 4 dispatches in flight, sync once —
     # amortizes the per-call host->device round trip (the tunnel on this
