@@ -32,6 +32,15 @@ class VocoderTask:
     def __init__(self, hp: HParams, mesh=None, voc_cfg: Optional[gen.HifiGanConfig] = None):
         self.hp = hp
         self.mesh = mesh
+        # generator family: the HiFi-GAN/NSF upsampler (reference parity)
+        # or the TPU-first iSTFT-head model (vocoders/istft_head.py)
+        self.family = "istft" if "istft" in str(hp.get("vocoder", "")).lower() \
+            else "hifigan"
+        if self.family == "istft":
+            from ..vocoders import istft_head
+
+            self._istft = istft_head
+            self.icfg = istft_head.IstftVocoderConfig.from_hparams(hp)
         self.cfg = voc_cfg or gen.HifiGanConfig(
             num_mels=hp["audio_num_mel_bins"],
             upsample_initial_channel=int(hp.get("upsample_initial_channel", 512)),
@@ -55,7 +64,8 @@ class VocoderTask:
     def init_state(self, seed: Optional[int] = None) -> Dict:
         seed = seed if seed is not None else self.hp.get("seed", 1234)
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
-        g_params = gen.init(k1, self.cfg)
+        g_params = self._istft.init(k1, self.icfg) if self.family == "istft" \
+            else gen.init(k1, self.cfg)
         d_params = {"mpd": D.init_mpd(k2), "msd": D.init_msd(k3)}
         return {
             "g_params": g_params, "d_params": d_params,
@@ -81,7 +91,13 @@ class VocoderTask:
         lam_mel, lam_fm = self.lambda_mel, self.lambda_fm
         use_stft = self.use_stft_loss
 
+        family = self.family
+
         def gen_forward(g_params, batch, rng):
+            if family == "istft":
+                # the iSTFT head consumes log10-mel directly
+                return self._istft.apply(g_params, self.icfg, batch["mels"],
+                                         batch.get("f0"))
             mel_in = batch["mels"] * (mel_ops.LN_10 if is_nsf else 1.0)
             return gen.apply(g_params, cfg, mel_in,
                              batch.get("f0") if is_nsf else None, rng)

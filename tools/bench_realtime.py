@@ -72,6 +72,7 @@ def main():
         use_uv=False, pitch_norm="log", f0_bin=256, f0_min=40.0,
         f0_max=1100.0, pndm_speedup=SPEEDUP, vocoder="nsf_hifigan",
         fused_bucket_samples=BUCKET,
+        fused_output_int16=True,   # the wire format (flask default)
         diff_compute_dtype="bfloat16", hubert_compute_dtype="bfloat16")
 
     model = GaussianDiffusion(hp)
