@@ -1,0 +1,182 @@
+"""The reference's four split ONNX artifacts, emitted from the JAX models.
+
+Behavior target: reference ``onnx_export.py`` +
+``modules/diff/diffusion_V2.py:252-352`` (torch.onnx, opset 16).  Artifact
+names, graph input/output names, dtypes, and dynamic axes match the
+reference export exactly, so downstream community consumers (the VST /
+MoeSS-style inference hosts that load ``{proj}_encoder.onnx`` etc.) can
+consume these files unchanged:
+
+- ``{proj}_encoder.onnx``  (hubert[1,T_ph,H] f32, mel2ph[1,T] i64,
+                            spk_embed[1] i64, f0[1,T] f32)
+                           -> mel_pred[1,H,T] (the condition), f0_pred[1,T]
+- ``{proj}_denoise.onnx``  (noise[1,1,M,T] f32, time[1] i64,
+                            condition[1,H,T] f32) -> noise_pred[1,1,M,T]
+- ``{proj}_pred.onnx``     (noise, noise_pred, time, time_prev) -> PLMS
+                           first-order x_pred (diffusion_V2.py:168-180)
+- ``{proj}_after.onnx``    x[1,1,M,T] -> mel_out[1,M,T]: denorm +
+                           log10->ln (x2.30259) (diffusion_V2.py:153-165)
+
+Notes vs the reference:
+- the reference's exported SvcEncoder ADDS the integer ``spk_embed``
+  tensor (always 0 for single-speaker exports, diffusion_V2.py:97-107);
+  with ``use_spk_id`` we instead export the real speaker-embedding lookup.
+- ``time``/``time_prev``/``mel2ph``/``spk_embed`` are declared int64 like
+  torch exports; a Cast node feeds the int32 TPU-side graph.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from .convert import export_onnx
+
+
+def export_svc_onnx(hp, params, out_dir: str, project_name: str,
+                    t_ph: int = 10, t_mel: int = 10) -> Dict[str, str]:
+    """Write the four artifacts; returns {stage: path}.
+
+    ``params`` is the GaussianDiffusion params pytree ({"fs2", "denoise_fn"},
+    e.g. from utils.convert_torch.convert_gaussian_diffusion).
+    """
+    import jax.numpy as jnp
+
+    from ..models import fs2
+    from ..models.diffusion import GaussianDiffusion
+
+    model = GaussianDiffusion(hp)
+    fs2_cfg = model.fs2_cfg
+    h = int(hp["hidden_size"])
+    m = int(model.mel_bins)
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+
+    # --- encoder -----------------------------------------------------------
+    use_spk = bool(fs2_cfg.use_spk_id)
+
+    def enc_fn(hubert, mel2ph, spk_embed, f0):
+        ret = fs2.apply(params["fs2"], fs2_cfg, hubert, mel2ph, f0,
+                        spk_embed=spk_embed if use_spk else None)
+        cond = ret["decoder_inp"]
+        return cond.transpose(0, 2, 1), ret["f0_denorm"]
+
+    enc_args = (jnp.zeros((1, t_ph, h), jnp.float32),
+                jnp.ones((1, t_mel), jnp.int32),
+                jnp.zeros((1,), jnp.int32),
+                jnp.full((1, t_mel), 6.0, jnp.float32))
+    enc_path = os.path.join(out_dir, f"{project_name}_encoder.onnx")
+    with open(enc_path, "wb") as f:
+        f.write(export_onnx(
+            enc_fn, enc_args,
+            input_names=["hubert", "mel2ph", "spk_embed", "f0"],
+            output_names=["mel_pred", "f0_pred"],
+            dynamic_axes={"hubert": [1], "mel2ph": [1], "f0": [1]},
+            input_casts={"mel2ph": 7, "spk_embed": 7},  # INT64
+            graph_name="encoder",
+            doc=f"diff-svc encoder ({project_name}); "
+                "parity: reference modules/encoder.py:101-110"))
+    paths["encoder"] = enc_path
+
+    # --- denoiser ----------------------------------------------------------
+    def den_fn(noise, time, condition):
+        spec = noise[:, 0].transpose(0, 2, 1)        # [B, T, M]
+        cond = condition.transpose(0, 2, 1)          # [B, T, H]
+        out = model._dec.apply(params["denoise_fn"], model.net_cfg,
+                               spec, time, cond=cond)
+        return out.transpose(0, 2, 1)[:, None]       # [B, 1, M, T]
+
+    den_args = (jnp.zeros((1, 1, m, t_mel), jnp.float32),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, h, t_mel), jnp.float32))
+    den_path = os.path.join(out_dir, f"{project_name}_denoise.onnx")
+    with open(den_path, "wb") as f:
+        f.write(export_onnx(
+            den_fn, den_args,
+            input_names=["noise", "time", "condition"],
+            output_names=["noise_pred"],
+            dynamic_axes={"noise": [3], "condition": [2]},
+            input_casts={"time": 7},
+            graph_name="denoise",
+            doc=f"diff-svc DiffNet denoiser ({project_name}); "
+                "parity: reference modules/diff/net.py DiffNet"))
+    paths["denoise"] = den_path
+
+    # --- pred (PLMS first-order x_pred) ------------------------------------
+    alphas_cumprod = jnp.asarray(model.tables["alphas_cumprod"], jnp.float32)
+
+    def pred_fn(noise, noise_pred, time, time_prev):
+        a_t = alphas_cumprod[time][:, None, None, None]
+        a_prev = alphas_cumprod[time_prev][:, None, None, None]
+        a_t_sq, a_prev_sq = jnp.sqrt(a_t), jnp.sqrt(a_prev)
+        x_delta = (a_prev - a_t) * (
+            (1.0 / (a_t_sq * (a_t_sq + a_prev_sq))) * noise
+            - 1.0 / (a_t_sq * (jnp.sqrt((1.0 - a_prev) * a_t)
+                               + jnp.sqrt((1.0 - a_t) * a_prev))) * noise_pred)
+        return noise + x_delta
+
+    pr_args = (jnp.zeros((1, 1, m, t_mel), jnp.float32),
+               jnp.zeros((1, 1, m, t_mel), jnp.float32),
+               jnp.zeros((1,), jnp.int32),
+               jnp.zeros((1,), jnp.int32))
+    pred_path = os.path.join(out_dir, f"{project_name}_pred.onnx")
+    with open(pred_path, "wb") as f:
+        f.write(export_onnx(
+            pred_fn, pr_args,
+            input_names=["noise", "noise_pred", "time", "time_prev"],
+            output_names=["noise_pred_o"],
+            dynamic_axes={"noise": [3], "noise_pred": [3]},
+            input_casts={"time": 7, "time_prev": 7},
+            graph_name="pred",
+            doc="PLMS x_pred step; parity: reference "
+                "modules/diff/diffusion_V2.py:168-180"))
+    paths["pred"] = pred_path
+
+    # --- after (denorm + log10->ln) -----------------------------------------
+    spec_min = jnp.asarray(model.spec_min)[None, None, :]   # [1,1,M]
+    spec_max = jnp.asarray(model.spec_max)[None, None, :]
+
+    def after_fn(x):
+        y = x[:, 0].transpose(0, 2, 1)                       # [B, T, M]
+        d = (spec_max - spec_min) / 2.0
+        mid = (spec_max + spec_min) / 2.0
+        mel_out = (y * d + mid) * 2.30259
+        return mel_out.transpose(0, 2, 1)                    # [B, M, T]
+
+    af_args = (jnp.zeros((1, 1, m, t_mel), jnp.float32),)
+    after_path = os.path.join(out_dir, f"{project_name}_after.onnx")
+    with open(after_path, "wb") as f:
+        f.write(export_onnx(
+            after_fn, af_args,
+            input_names=["x"], output_names=["mel_out"],
+            dynamic_axes={"x": [3]},
+            graph_name="after",
+            doc="denorm + ln-mel; parity: reference "
+                "modules/diff/diffusion_V2.py:153-165"))
+    paths["after"] = after_path
+    return paths
+
+
+class SvcOnnx:
+    """CLI-facing facade mirroring the reference ``SvcOnnx`` usage
+    (reference onnx_export.py:6-17): load a project checkpoint, call
+    ``OnnxExport(project_name)``."""
+
+    def __init__(self, project_name: str, config_path: str,
+                 hubert_gpu: bool = False,
+                 model_path: Optional[str] = None):
+        from ..config.hparams import set_hparams
+        from ..utils import convert_torch as cvt
+
+        self.project_name = project_name
+        self.hp = set_hparams(config=config_path, exp_name=project_name,
+                              infer=True, reset=True, hparams_str="",
+                              print_hparams=False)
+        self.params = cvt.convert_gaussian_diffusion(model_path, self.hp)
+
+    def OnnxExport(self, project_name: Optional[str] = None,
+                   out_dir: str = ".") -> Dict[str, str]:
+        return export_svc_onnx(self.hp, self.params, out_dir,
+                               project_name or self.project_name)

@@ -1,17 +1,24 @@
 """Deployment export CLI (reference onnx_export.py surface).
 
-Exports the converted diffusion model as per-stage StableHLO artifacts
-(encoder / denoiser / sampler / vocoder) — the XLA-runtime-portable
-equivalent of the reference's split ONNX graphs:
+Two artifact families:
 
-    python onnx_export.py --project myproj --out exported/myproj
+- ``--format onnx`` (default): the community's split ONNX graphs
+  (``{proj}_encoder.onnx`` / ``_denoise`` / ``_pred`` / ``_after``) with
+  the same graph interfaces as the reference's torch export (reference
+  ``onnx_export.py`` + ``modules/diff/diffusion_V2.py:252-352``),
+  emitted by the in-repo jaxpr->ONNX converter (diffsvc_tpu/onnx).
+- ``--format stablehlo``: per-stage StableHLO artifacts (encoder /
+  denoiser / sampler / vocoder) — the XLA-runtime-portable equivalent,
+  consumable via tools/run_exported.py on any PJRT backend.
+
+    python onnx_export.py --project myproj                 # ONNX
+    python onnx_export.py --project myproj --format stablehlo
+
+Artifacts are validated in-repo by tests/test_onnx_export.py against the
+JAX models (numpy ONNX interpreter; onnxruntime is not available here).
 """
 
 import argparse
-
-from diffsvc_tpu.config.hparams import set_hparams
-from diffsvc_tpu.infer.export import SvcExporter
-from diffsvc_tpu.utils import convert_torch as cvt
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
@@ -19,10 +26,20 @@ if __name__ == "__main__":
     ap.add_argument("--model", default=None)
     ap.add_argument("--config", default=None)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--t_mel", type=int, default=1024)
+    ap.add_argument("--format", choices=("onnx", "stablehlo"), default="onnx")
+    ap.add_argument("--t_mel", type=int, default=1024,
+                    help="trace length (stablehlo: fixed; onnx: dynamic-axis trace point)")
     ap.add_argument("--t_ph", type=int, default=512)
     ap.add_argument("--acc", type=int, default=10)
     args = ap.parse_args()
+
+    import jax
+
+    if args.format == "onnx":
+        jax.config.update("jax_platforms", "cpu")  # export needs no accelerator
+
+    from diffsvc_tpu.config.hparams import set_hparams
+    from diffsvc_tpu.utils import convert_torch as cvt
 
     model_path = args.model or f"./checkpoints/{args.project}/"
     config_path = args.config or f"./checkpoints/{args.project}/config.yaml"
@@ -31,7 +48,14 @@ if __name__ == "__main__":
     hp = set_hparams(config=config_path, exp_name=args.project, infer=True,
                      reset=True, print_hparams=False)
     params = cvt.convert_gaussian_diffusion(model_path, hp)
-    paths = SvcExporter(hp, params).export(out_dir, t_mel=args.t_mel,
-                                           t_ph=args.t_ph, speedup=args.acc)
+    if args.format == "onnx":
+        from diffsvc_tpu.onnx.svc_export import export_svc_onnx
+
+        paths = export_svc_onnx(hp, params, out_dir, args.project)
+    else:
+        from diffsvc_tpu.infer.export import SvcExporter
+
+        paths = SvcExporter(hp, params).export(out_dir, t_mel=args.t_mel,
+                                               t_ph=args.t_ph, speedup=args.acc)
     for k, v in paths.items():
         print(f"| exported {k}: {v}")

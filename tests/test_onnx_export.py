@@ -1,0 +1,270 @@
+"""Real ONNX artifact emission (diffsvc_tpu/onnx).
+
+Validates the three layers independently:
+
+1. **Wire format**: our hand-transcribed proto subset parses a genuine
+   torch.onnx-produced file (field numbers byte-compatible with real
+   ONNX), and our numpy runtime executes that foreign graph to parity
+   with the torch module.
+2. **Converter**: jaxpr->ONNX graphs reproduce the JAX models bit-for-bit
+   through the numpy runtime, at the traced length AND at a different
+   length (dynamic time axes actually work).
+3. **Artifacts**: export_svc_onnx writes the reference's four split
+   graphs (reference modules/diff/diffusion_V2.py:252-352) with the
+   reference's exact I/O names/dtypes, and the chained
+   encoder->denoise->pred->after consumer loop matches the in-process
+   JAX PLMS math.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffsvc_tpu.config import HParams
+from diffsvc_tpu.onnx import OnnxRunner, export_onnx
+from diffsvc_tpu.onnx import proto as P
+
+
+def _tiny_hp(**over):
+    hp = HParams(
+        audio_num_mel_bins=8, hidden_size=16, residual_layers=4,
+        residual_channels=16, dilation_cycle_length=4, timesteps=20,
+        K_step=20, diff_loss_type="l2", schedule_type="linear", max_beta=0.02,
+        keep_bins=8, spec_min=[-6.0], spec_max=[1.5], no_fs2=True,
+        use_pitch_embed=True, use_energy_embed=False, use_uv=False,
+        pitch_norm="log", f0_bin=256, f0_min=50.0, f0_max=1100.0,
+        pndm_speedup=5, audio_sample_rate=8000,
+    )
+    for k, v in over.items():
+        hp[k] = v
+    return hp
+
+
+# --- 1. wire format vs torch ------------------------------------------------
+
+def test_schema_parses_and_runtime_runs_torch_export(tmp_path):
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    # torch's legacy exporter serializes the proto in C++; only the final
+    # onnxscript-function inlining needs the onnx package — skip that step
+    # (no custom onnxscript functions in a plain conv model).
+    try:
+        from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+    except ImportError:
+        pytest.skip("torch exporter internals moved")
+    onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, custom_opsets: model_bytes
+
+    m = nn.Sequential(nn.Conv1d(4, 8, 3, padding=2, dilation=2), nn.Tanh(),
+                      nn.Conv1d(8, 3, 1), nn.Sigmoid())
+    m.eval()
+    x = torch.randn(2, 4, 16)
+    path = str(tmp_path / "torch.onnx")
+    torch.onnx.export(m, (x,), path, input_names=["x"], output_names=["y"],
+                      opset_version=16, dynamo=False)
+
+    blob = open(path, "rb").read()
+    model = P.ModelProto()
+    model.ParseFromString(blob)
+    assert model.ir_version >= 7
+    assert model.opset_import[0].version == 16
+    assert model.producer_name == "pytorch"
+    ops = [n.op_type for n in model.graph.node]
+    assert "Conv" in ops and "Tanh" in ops and "Sigmoid" in ops
+
+    runner = OnnxRunner(blob)
+    got = runner(x.numpy())[0]
+    want = m(x).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# --- 2. converter parity ----------------------------------------------------
+
+def test_export_mlp_and_dilated_conv_dynamic_t():
+    from diffsvc_tpu.models import nn as dnn
+
+    rng = np.random.RandomState(0)
+    p = {"w": jnp.asarray(rng.randn(3, 5, 7).astype(np.float32)) * 0.2,
+         "b": jnp.zeros((7,))}
+
+    def g(x):
+        return jax.nn.relu(dnn.conv1d(p, x, dilation=2))
+
+    xg = jnp.asarray(rng.randn(2, 12, 5).astype(np.float32))
+    blob = export_onnx(g, (xg,), input_names=["x"], output_names=["y"],
+                       dynamic_axes={"x": [1]}, graph_name="conv")
+    r = OnnxRunner(blob)
+    np.testing.assert_allclose(r(np.asarray(xg))[0], np.asarray(g(xg)),
+                               rtol=1e-5, atol=1e-6)
+    x2 = jnp.asarray(rng.randn(2, 30, 5).astype(np.float32))
+    np.testing.assert_allclose(r(np.asarray(x2))[0], np.asarray(g(x2)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_export_denoiser_scan_unroll_dynamic_t():
+    from diffsvc_tpu.models import diffnet
+
+    dcfg = diffnet.DiffNetConfig(
+        in_dims=8, residual_layers=4, residual_channels=16,
+        dilation_cycle_length=2, encoder_hidden=16, pallas_stack="off")
+    dp = diffnet.init(jax.random.PRNGKey(1), dcfg)
+
+    def den(noise, t, condition):
+        spec = noise[:, 0].transpose(0, 2, 1)
+        c = condition.transpose(0, 2, 1)
+        return diffnet.apply(dp, dcfg, spec, t, cond=c).transpose(0, 2, 1)[:, None]
+
+    rng = np.random.RandomState(2)
+    noise = jnp.asarray(rng.randn(1, 1, 8, 12).astype(np.float32))
+    t = jnp.asarray([5], jnp.int32)
+    cond = jnp.asarray(rng.randn(1, 16, 12).astype(np.float32))
+    blob = export_onnx(den, (noise, t, cond),
+                       input_names=["noise", "time", "condition"],
+                       output_names=["noise_pred"],
+                       dynamic_axes={"noise": [3], "condition": [2]},
+                       input_casts={"time": P.INT64})
+    r = OnnxRunner(blob)
+    got = r(np.asarray(noise), np.asarray(t, np.int64), np.asarray(cond))[0]
+    np.testing.assert_allclose(got, np.asarray(den(noise, t, cond)),
+                               rtol=1e-5, atol=1e-6)
+    # different length through the same artifact
+    noise2 = jnp.asarray(rng.randn(1, 1, 8, 23).astype(np.float32))
+    cond2 = jnp.asarray(rng.randn(1, 16, 23).astype(np.float32))
+    got2 = r(np.asarray(noise2), np.asarray(t, np.int64), np.asarray(cond2))[0]
+    np.testing.assert_allclose(got2, np.asarray(den(noise2, t, cond2)),
+                               rtol=1e-5, atol=1e-6)
+
+
+# --- 3. the four artifacts --------------------------------------------------
+
+@pytest.fixture(scope="module")
+def svc_artifacts(tmp_path_factory):
+    from diffsvc_tpu.models.diffusion import GaussianDiffusion
+    from diffsvc_tpu.onnx.svc_export import export_svc_onnx
+
+    hp = _tiny_hp()
+    model = GaussianDiffusion(hp)
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = tmp_path_factory.mktemp("onnx")
+    paths = export_svc_onnx(hp, params, str(out), "proj")
+    return hp, model, params, paths
+
+
+def test_artifact_files_and_interfaces(svc_artifacts):
+    hp, model, params, paths = svc_artifacts
+    assert set(paths) == {"encoder", "denoise", "pred", "after"}
+
+    enc = OnnxRunner(open(paths["encoder"], "rb").read())
+    assert enc.input_names == ["hubert", "mel2ph", "spk_embed", "f0"]
+    assert enc.output_names == ["mel_pred", "f0_pred"]
+    types = {v.name: v.type.tensor_type.elem_type for v in enc.graph.input}
+    assert types["mel2ph"] == P.INT64 and types["spk_embed"] == P.INT64
+    # dynamic time axes declared as dim_param
+    dyn = {v.name: [d.dim_param for d in v.type.tensor_type.shape.dim]
+           for v in enc.graph.input}
+    assert dyn["hubert"][1] and dyn["f0"][1] and dyn["mel2ph"][1]
+
+    den = OnnxRunner(open(paths["denoise"], "rb").read())
+    assert den.input_names == ["noise", "time", "condition"]
+    assert den.output_names == ["noise_pred"]
+    pred = OnnxRunner(open(paths["pred"], "rb").read())
+    assert pred.input_names == ["noise", "noise_pred", "time", "time_prev"]
+    assert pred.output_names == ["noise_pred_o"]
+    after = OnnxRunner(open(paths["after"], "rb").read())
+    assert after.input_names == ["x"]
+    assert after.output_names == ["mel_out"]
+    assert all(m.opset_import[0].version == 16 for m in
+               (enc.model, den.model, pred.model, after.model))
+
+
+def test_artifact_chain_matches_jax_plms_iteration(svc_artifacts):
+    """Drive the artifacts the way a community consumer does (reference
+    OnnxExport loop, diffusion_V2.py:305-345) and compare every stage
+    against the in-process JAX math."""
+    from diffsvc_tpu.models import fs2 as fs2_mod
+    from diffsvc_tpu.models.diffusion import denorm_spec
+
+    hp, model, params, paths = svc_artifacts
+    enc = OnnxRunner(open(paths["encoder"], "rb").read())
+    den = OnnxRunner(open(paths["denoise"], "rb").read())
+    pred = OnnxRunner(open(paths["pred"], "rb").read())
+    after = OnnxRunner(open(paths["after"], "rb").read())
+
+    rng = np.random.RandomState(0)
+    T_ph, T = 9, 14  # different from the traced length (10)
+    hub = rng.randn(1, T_ph, hp["hidden_size"]).astype(np.float32)
+    mel2ph = rng.randint(0, T_ph + 1, (1, T)).astype(np.int64)
+    f0 = (rng.rand(1, T) * 2 + 6).astype(np.float32)
+    spk = np.zeros((1,), np.int64)
+
+    cond_onnx, f0_pred = enc(hub, mel2ph, spk, f0)
+    ret = fs2_mod.apply(params["fs2"], model.fs2_cfg, jnp.asarray(hub),
+                        jnp.asarray(mel2ph, jnp.int32), jnp.asarray(f0))
+    np.testing.assert_allclose(
+        cond_onnx, np.asarray(ret["decoder_inp"]).transpose(0, 2, 1),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(f0_pred, np.asarray(ret["f0_denorm"]),
+                               rtol=1e-4, atol=1e-4)
+
+    # one PLMS bootstrap iteration: denoise @ t, pred, denoise @ t_prev
+    x = rng.randn(1, 1, hp["audio_num_mel_bins"], T).astype(np.float32)
+    t = np.asarray([15], np.int64)
+    t_prev = np.asarray([10], np.int64)
+    noise_pred = den(x, t, cond_onnx)[0]
+    want_np = model._dec.apply(
+        params["denoise_fn"], model.net_cfg,
+        jnp.asarray(x[:, 0].transpose(0, 2, 1)), jnp.asarray(t, jnp.int32),
+        cond=jnp.asarray(cond_onnx.transpose(0, 2, 1)))
+    np.testing.assert_allclose(
+        noise_pred, np.asarray(want_np).transpose(0, 2, 1)[:, None],
+        rtol=1e-5, atol=1e-5)
+
+    x_pred = pred(x, noise_pred, t, t_prev)[0]
+    # independent numpy transcription of the reference x_pred formula
+    # (diffusion_V2.py:168-180)
+    ac = np.asarray(model.tables["alphas_cumprod"], np.float32)
+    a_t = ac[t[0]]
+    a_prev = ac[t_prev[0]]
+    x_delta = (a_prev - a_t) * (
+        (1 / (np.sqrt(a_t) * (np.sqrt(a_t) + np.sqrt(a_prev)))) * x
+        - 1 / (np.sqrt(a_t) * (np.sqrt((1 - a_prev) * a_t)
+                               + np.sqrt((1 - a_t) * a_prev))) * noise_pred)
+    np.testing.assert_allclose(x_pred, x + x_delta, rtol=1e-4, atol=1e-5)
+
+    mel_out = after(x_pred)[0]
+    want_mel = denorm_spec(
+        jnp.asarray(x_pred[:, 0].transpose(0, 2, 1)),
+        model.spec_min, model.spec_max) * 2.30259
+    np.testing.assert_allclose(
+        mel_out, np.asarray(want_mel).transpose(0, 2, 1),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_multispeaker_encoder_uses_embedding(tmp_path):
+    from diffsvc_tpu.models import fs2 as fs2_mod
+    from diffsvc_tpu.models.diffusion import GaussianDiffusion
+    from diffsvc_tpu.onnx.svc_export import export_svc_onnx
+
+    hp = _tiny_hp(use_spk_id=True, num_spk=3)
+    model = GaussianDiffusion(hp)
+    params = model.init_params(jax.random.PRNGKey(3))
+    paths = export_svc_onnx(hp, params, str(tmp_path), "multi")
+    enc = OnnxRunner(open(paths["encoder"], "rb").read())
+    rng = np.random.RandomState(1)
+    hub = rng.randn(1, 6, hp["hidden_size"]).astype(np.float32)
+    mel2ph = rng.randint(0, 7, (1, 8)).astype(np.int64)
+    f0 = (rng.rand(1, 8) * 2 + 6).astype(np.float32)
+    for spk in (0, 2):
+        got = enc(hub, mel2ph, np.asarray([spk], np.int64), f0)[0]
+        ret = fs2_mod.apply(params["fs2"], model.fs2_cfg, jnp.asarray(hub),
+                            jnp.asarray(mel2ph, jnp.int32), jnp.asarray(f0),
+                            spk_embed=jnp.asarray([spk], jnp.int32))
+        np.testing.assert_allclose(
+            got, np.asarray(ret["decoder_inp"]).transpose(0, 2, 1),
+            rtol=1e-5, atol=1e-6)
+    # speaker id actually changes the condition
+    a = enc(hub, mel2ph, np.asarray([0], np.int64), f0)[0]
+    b = enc(hub, mel2ph, np.asarray([2], np.int64), f0)[0]
+    assert np.abs(a - b).max() > 1e-3
