@@ -595,14 +595,25 @@ class Converter:
         for ax, (st, en, sp) in enumerate(zip(starts, limits, strides)):
             d = v.dshape[ax]
             if isinstance(d, str):
-                # dynamic axis: only a full slice keeps the symbol honest
-                if st == 0 and sp == 1 and en == _trace_size(v, ax):
+                ts = _trace_size(v, ax)
+                if st == 0 and sp == 1 and en == ts:
+                    # full slice keeps the symbol
                     ends_emit.append(_INT64_MAX)
                     dshape.append(d)
                     continue
-                raise NotImplementedError(
-                    "partial slice on a dynamic axis is ambiguous; pad or "
-                    "restructure the exported function")
+                # Partial slice on a dynamic axis: a static limit is
+                # interpreted END-RELATIVE (en == ts-k means x[..., :-k] for
+                # every runtime length), while the start stays absolute —
+                # the convention of every [k:], [:-k], [k:-j] window slice
+                # over a time axis (e.g. the sine-source wrap correction,
+                # vocoders/generator.py). An absolute-limit slice of a
+                # dynamic axis (keep exactly the first en elements
+                # regardless of length) cannot be distinguished at trace
+                # time and is not used by the exported graphs.
+                ends_emit.append(_INT64_MAX if en >= ts else en - ts)
+                new_ts = max(0, -(-(en - st) // sp))
+                dshape.append(self.fresh_sym("sl", new_ts))
+                continue
             ends_emit.append(en)
             dshape.append(max(0, -(-(en - st) // sp)))
         st_t = self.b.add_initializer(np.asarray(starts, np.int64), hint="st")
@@ -828,11 +839,16 @@ class Converter:
                        for i in range(spatial)]
             if any(p < 0 for p in ct_pads):
                 raise NotImplementedError("ConvTranspose negative pad")
+            if int(pr["feature_group_count"]) != 1:
+                # the [I, O/g] swap below is only valid ungrouped
+                raise NotImplementedError("grouped ConvTranspose")
             out = self.b.add_node(
                 "ConvTranspose", [self.mat_name(x), kname],
-                strides=strides, pads=ct_pads,
-                group=int(pr["feature_group_count"]))[0]
-            out_c = w.dshape[1] * int(pr["feature_group_count"])
+                strides=strides, pads=ct_pads)[0]
+            # after rhs_perm, w is [O, I, *sp]: out channels are dim 0
+            # (conv_general_dilated with lhs_dilation is still a plain
+            # correlation; only the ONNX *weight layout* is transposed)
+            out_c = w.dshape[0]
         # output spatial dims
         plain = all(int(dd) == 1 for dd in pr["lhs_dilation"])
         osp = []

@@ -178,6 +178,13 @@ class OnnxRunner:
             return (a / b).astype(a.dtype) if False else np.floor_divide(a, b)
         return a / b
 
+    def op_Mod(self, ins, attrs):
+        # fmod=1: C fmod (sign of dividend, what lax.rem lowers to);
+        # fmod=0: floored modulo (sign of divisor)
+        if int(attrs.get("fmod", 0)):
+            return np.fmod(ins[0], ins[1])
+        return np.mod(ins[0], ins[1])
+
     def op_Neg(self, ins, attrs):
         return -ins[0]
 

@@ -159,6 +159,75 @@ def export_svc_onnx(hp, params, out_dir: str, project_name: str,
     return paths
 
 
+def export_vocoder_onnx(cfg, params, out_dir: str, project_name: str,
+                        t_mel: int = 10) -> str:
+    """Write ``{proj}_hifigan.onnx``: the (NSF-)HiFi-GAN generator as one
+    ONNX graph, completing the exported chain (the reference exports only
+    the four diffusion graphs and leaves the vocoder to separately
+    published community artifacts).
+
+    Inputs (dynamic T, L = T * prod(upsample_rates)):
+
+    - ``mel``  f32[1, M, T]  natural-log mel (what ``_after`` emits /
+      the NSF wrapper feeds, reference ``network/vocoders/nsf_hifigan.py``)
+    - ``f0``   f32[1, T]     Hz (NSF configs only)
+    - ``rand_ini`` f32[1, H+1]  U[0,1) initial harmonic phases
+    - ``noise``    f32[1, H+1, L] N(0,1) source noise
+
+    The source randomness is declared as graph inputs instead of in-graph
+    RNG ops so the artifact is deterministic and bit-testable; hosts feed
+    U/N draws (or zeros for reproducible output). ``params``/``cfg`` come
+    from :func:`diffsvc_tpu.vocoders.nsf_hifigan.load_model`.
+    """
+    import jax.numpy as jnp
+
+    from ..vocoders import generator as G
+
+    os.makedirs(out_dir, exist_ok=True)
+    total_up = int(np.prod(cfg.upsample_rates))
+    h = cfg.harmonic_num + 1
+    m = cfg.num_mels
+    L = t_mel * total_up
+    use_nsf = bool(cfg.use_nsf)
+
+    if use_nsf:
+        def voc_fn(mel, f0, rand_ini, noise):
+            f0_up = G.upsample_nearest(f0, total_up)
+            # length-robust first-sample mask: built from the input so the
+            # dynamic-length symbol survives into the ONNX graph (an iota
+            # mask would be baked at the trace length)
+            ones = f0_up[0] * 0.0 + 1.0
+            lane0 = (jnp.cumsum(ones) == 1.0).astype(jnp.float32)
+            har, _ = G.source_module_from_randoms(
+                params["m_source"], rand_ini, noise, f0_up,
+                cfg.sampling_rate, cfg.harmonic_num, lane0=lane0)
+            return G.apply_conv_stack(params, cfg, mel.transpose(0, 2, 1),
+                                      har)
+
+        args = (jnp.zeros((1, m, t_mel), jnp.float32),
+                jnp.full((1, t_mel), 220.0, jnp.float32),
+                jnp.zeros((1, h), jnp.float32),
+                jnp.zeros((1, h, L), jnp.float32))
+        input_names = ["mel", "f0", "rand_ini", "noise"]
+        dynamic_axes = {"mel": [2], "f0": [1], "noise": [2]}
+    else:
+        def voc_fn(mel):
+            return G.apply_conv_stack(params, cfg, mel.transpose(0, 2, 1))
+
+        args = (jnp.zeros((1, m, t_mel), jnp.float32),)
+        input_names = ["mel"]
+        dynamic_axes = {"mel": [2]}
+
+    path = os.path.join(out_dir, f"{project_name}_hifigan.onnx")
+    with open(path, "wb") as f:
+        f.write(export_onnx(
+            voc_fn, args, input_names=input_names, output_names=["waveform"],
+            dynamic_axes=dynamic_axes, graph_name="hifigan",
+            doc=f"(NSF-)HiFi-GAN generator ({project_name}); parity: "
+                "reference modules/nsf_hifigan/models.py:325-396"))
+    return path
+
+
 class SvcOnnx:
     """CLI-facing facade mirroring the reference ``SvcOnnx`` usage
     (reference onnx_export.py:6-17): load a project checkpoint, call

@@ -55,6 +55,41 @@ class HifiGanConfig(NamedTuple):
 # NSF source
 # ---------------------------------------------------------------------------
 
+def sine_gen_ht_from_randoms(rand_ini, unit_noise, f0_up: jnp.ndarray,
+                             sr: int, harmonic_num: int = 8,
+                             sine_amp: float = 0.1, noise_std: float = 0.003,
+                             voiced_threshold: float = 0.0, lane0=None):
+    """:func:`sine_gen_ht` core with the randomness passed in explicitly.
+
+    ``rand_ini`` [B, H+1] ~ U[0,1) initial phases (harmonic 0 is forced to
+    0 here), ``unit_noise`` [B, H+1, L] ~ N(0,1).  Used directly by the
+    ONNX export, where the random draws become graph inputs instead of
+    in-graph threefry ops (diffsvc_tpu/onnx/svc_export.py).
+    """
+    h = harmonic_num + 1
+    f0 = f0_up[:, None, :] * (jnp.arange(1, h + 1, dtype=f0_up.dtype)[None, :, None])
+    rad = (f0 / sr) % 1.0
+
+    rand_ini = rand_ini * (jnp.arange(h) > 0).astype(rand_ini.dtype)[None, :]
+    # first-sample phase offset as a masked add (a lane-0 scatter costs a
+    # full relayout pass on TPU); callers with a dynamic length (the ONNX
+    # export) pass a length-robust [L] mask instead of the baked iota
+    if lane0 is None:
+        lane0 = (jnp.arange(rad.shape[2]) == 0).astype(rad.dtype)
+    rad = rad + rand_ini[:, :, None] * lane0[None, None, :]
+
+    tmp_over_one = jnp.cumsum(rad, axis=2) % 1.0
+    wrap = (tmp_over_one[:, :, 1:] - tmp_over_one[:, :, :-1]) < 0
+    shift = jnp.concatenate(
+        [jnp.zeros_like(rad[:, :, :1]), jnp.where(wrap, -1.0, 0.0)], axis=2)
+    phase = jnp.cumsum(rad + shift, axis=2)
+    sines = jnp.sin(2.0 * jnp.pi * phase) * sine_amp
+
+    uv_ht = (f0_up[:, None, :] > voiced_threshold).astype(f0.dtype)
+    noise_amp = uv_ht * noise_std + (1.0 - uv_ht) * sine_amp / 3.0
+    return sines * uv_ht + noise_amp * unit_noise, uv_ht
+
+
 def sine_gen_ht(rng, f0_up: jnp.ndarray, sr: int, harmonic_num: int = 8,
                 sine_amp: float = 0.1, noise_std: float = 0.003,
                 voiced_threshold: float = 0.0):
@@ -70,28 +105,13 @@ def sine_gen_ht(rng, f0_up: jnp.ndarray, sr: int, harmonic_num: int = 8,
     transposes back for the reference-layout API.
     """
     h = harmonic_num + 1
-    f0 = f0_up[:, None, :] * (jnp.arange(1, h + 1, dtype=f0_up.dtype)[None, :, None])
-    rad = (f0 / sr) % 1.0
-
     k1, k2 = jax.random.split(rng)
-    rand_ini = jax.random.uniform(k1, (f0.shape[0], h), dtype=f0.dtype)
-    rand_ini = rand_ini.at[:, 0].set(0.0)
-    # first-sample phase offset as a masked add (a lane-0 scatter costs a
-    # full relayout pass on TPU)
-    lane0 = (jnp.arange(rad.shape[2]) == 0).astype(rad.dtype)
-    rad = rad + rand_ini[:, :, None] * lane0[None, None, :]
-
-    tmp_over_one = jnp.cumsum(rad, axis=2) % 1.0
-    wrap = (tmp_over_one[:, :, 1:] - tmp_over_one[:, :, :-1]) < 0
-    shift = jnp.concatenate(
-        [jnp.zeros_like(rad[:, :, :1]), jnp.where(wrap, -1.0, 0.0)], axis=2)
-    phase = jnp.cumsum(rad + shift, axis=2)
-    sines = jnp.sin(2.0 * jnp.pi * phase) * sine_amp
-
-    uv_ht = (f0_up[:, None, :] > voiced_threshold).astype(f0.dtype)
-    noise_amp = uv_ht * noise_std + (1.0 - uv_ht) * sine_amp / 3.0
-    noise = noise_amp * jax.random.normal(k2, sines.shape, sines.dtype)
-    return sines * uv_ht + noise, uv_ht
+    rand_ini = jax.random.uniform(k1, (f0_up.shape[0], h), dtype=f0_up.dtype)
+    unit_noise = jax.random.normal(
+        k2, (f0_up.shape[0], h, f0_up.shape[1]), f0_up.dtype)
+    return sine_gen_ht_from_randoms(rand_ini, unit_noise, f0_up, sr,
+                                    harmonic_num, sine_amp, noise_std,
+                                    voiced_threshold)
 
 
 def sine_gen(rng, f0_up: jnp.ndarray, sr: int, harmonic_num: int = 8,
@@ -114,6 +134,18 @@ def source_module(p, rng, f0_up, sr: int, harmonic_num: int = 8):
     layout (no 16 MB transpose of the sine bank; the weighted sum over 9
     harmonics is a lane-parallel reduction)."""
     sines_ht, uv_ht = sine_gen_ht(rng, f0_up, sr, harmonic_num)
+    return _merge_harmonics(p, sines_ht, uv_ht)
+
+
+def source_module_from_randoms(p, rand_ini, unit_noise, f0_up, sr: int,
+                               harmonic_num: int = 8, lane0=None):
+    """:func:`source_module` with explicit random draws (ONNX export)."""
+    sines_ht, uv_ht = sine_gen_ht_from_randoms(rand_ini, unit_noise, f0_up,
+                                               sr, harmonic_num, lane0=lane0)
+    return _merge_harmonics(p, sines_ht, uv_ht)
+
+
+def _merge_harmonics(p, sines_ht, uv_ht):
     w = p["l_linear"]["w"][:, 0]   # [H+1]
     har = jnp.tanh(jnp.einsum("bhl,h->bl", sines_ht, w)
                    + p["l_linear"]["b"][0])
@@ -565,7 +597,14 @@ def apply(params, cfg: HifiGanConfig, mel: jnp.ndarray, f0=None, rng=None,
         f0_up = upsample_nearest(f0, total_up)
         har_source, _ = source_module(params["m_source"], rng, f0_up,
                                       cfg.sampling_rate, cfg.harmonic_num)
+    return apply_conv_stack(params, cfg, mel, har_source, dtype=dtype)
 
+
+def apply_conv_stack(params, cfg: HifiGanConfig, mel, har_source=None,
+                     dtype=None):
+    """The deterministic conv stack of :func:`apply` given a precomputed
+    NSF source [B, L, 1] (or None for plain HiFi-GAN); shared with the
+    ONNX export, where the source randomness enters as graph inputs."""
     if dtype is not None:
         params = jax.tree.map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)

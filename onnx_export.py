@@ -27,6 +27,10 @@ if __name__ == "__main__":
     ap.add_argument("--config", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--format", choices=("onnx", "stablehlo"), default="onnx")
+    ap.add_argument("--vocoder", action="store_true",
+                    help="also export {proj}_hifigan.onnx from hp['vocoder_ckpt'] "
+                         "(the reference leaves the vocoder to separately "
+                         "published artifacts; we can emit it in-repo)")
     ap.add_argument("--t_mel", type=int, default=1024,
                     help="trace length (stablehlo: fixed; onnx: dynamic-axis trace point)")
     ap.add_argument("--t_ph", type=int, default=512)
@@ -49,9 +53,15 @@ if __name__ == "__main__":
                      reset=True, print_hparams=False)
     params = cvt.convert_gaussian_diffusion(model_path, hp)
     if args.format == "onnx":
-        from diffsvc_tpu.onnx.svc_export import export_svc_onnx
+        from diffsvc_tpu.onnx.svc_export import export_svc_onnx, export_vocoder_onnx
 
         paths = export_svc_onnx(hp, params, out_dir, args.project)
+        if args.vocoder:
+            from diffsvc_tpu.vocoders.nsf_hifigan import load_model
+
+            vparams, vcfg, _ = load_model(str(hp["vocoder_ckpt"]))
+            paths["hifigan"] = export_vocoder_onnx(vcfg, vparams, out_dir,
+                                                   args.project)
     else:
         from diffsvc_tpu.infer.export import SvcExporter
 

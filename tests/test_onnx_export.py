@@ -242,6 +242,87 @@ def test_artifact_chain_matches_jax_plms_iteration(svc_artifacts):
         rtol=1e-5, atol=1e-5)
 
 
+def test_vocoder_onnx_nsf_parity_dynamic_t(tmp_path):
+    """{proj}_hifigan.onnx reproduces the JAX NSF-HiFi-GAN generator at the
+    traced AND at untraced lengths, with the source randomness fed through
+    the graph inputs (rand_ini/noise) — exercises the ConvTranspose
+    lowering and the end-relative dynamic-axis slices of the sine source
+    wrap correction."""
+    from diffsvc_tpu.onnx.svc_export import export_vocoder_onnx
+    from diffsvc_tpu.vocoders import generator as G
+
+    cfg = G.HifiGanConfig.from_dict(
+        {"resblock": "1", "upsample_rates": [4, 4, 2],
+         "upsample_kernel_sizes": [8, 8, 4], "upsample_initial_channel": 32,
+         "resblock_kernel_sizes": [3, 5],
+         "resblock_dilation_sizes": [[1, 3], [1, 3]],
+         "num_mels": 8, "sampling_rate": 8000}, use_nsf=True)
+    p = G.init(jax.random.PRNGKey(0), cfg)
+    path = export_vocoder_onnx(cfg, p, str(tmp_path), "proj", t_mel=10)
+    r = OnnxRunner(open(path, "rb").read())
+    assert r.input_names == ["mel", "f0", "rand_ini", "noise"]
+    assert r.output_names == ["waveform"]
+
+    total_up = 32
+    rng = np.random.RandomState(3)
+    for T in (10, 14):  # traced and untraced
+        L = T * total_up
+        mel = rng.randn(1, 8, T).astype(np.float32)
+        f0 = (rng.rand(1, T) * 200 + 100).astype(np.float32)
+        # sprinkle unvoiced frames to cover the noise-amp branch
+        f0[0, ::5] = 0.0
+        ri = rng.rand(1, 9).astype(np.float32)
+        nz = rng.randn(1, 9, L).astype(np.float32)
+        got = r(mel, f0, ri, nz)[0]
+        f0_up = G.upsample_nearest(jnp.asarray(f0), total_up)
+        har, _ = G.source_module_from_randoms(
+            p["m_source"], jnp.asarray(ri), jnp.asarray(nz), f0_up,
+            cfg.sampling_rate, cfg.harmonic_num)
+        want = np.asarray(G.apply_conv_stack(
+            p, cfg, jnp.asarray(mel).transpose(0, 2, 1), har))
+        assert got.shape == (1, L)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_vocoder_onnx_plain_hifigan(tmp_path):
+    from diffsvc_tpu.onnx.svc_export import export_vocoder_onnx
+    from diffsvc_tpu.vocoders import generator as G
+
+    cfg = G.HifiGanConfig.from_dict(
+        {"resblock": "2", "upsample_rates": [4, 4, 2],
+         "upsample_kernel_sizes": [8, 8, 4], "upsample_initial_channel": 32,
+         "resblock_kernel_sizes": [3],
+         "resblock_dilation_sizes": [[1, 3]],
+         "num_mels": 8, "sampling_rate": 8000}, use_nsf=False)
+    p = G.init(jax.random.PRNGKey(1), cfg)
+    path = export_vocoder_onnx(cfg, p, str(tmp_path), "plain", t_mel=10)
+    r = OnnxRunner(open(path, "rb").read())
+    assert r.input_names == ["mel"]
+    rng = np.random.RandomState(5)
+    mel = rng.randn(1, 8, 13).astype(np.float32)
+    want = np.asarray(G.apply_conv_stack(
+        p, cfg, jnp.asarray(mel).transpose(0, 2, 1)))
+    np.testing.assert_allclose(r(mel)[0], want, rtol=1e-4, atol=1e-6)
+
+
+def test_sine_gen_refactor_bit_parity():
+    """sine_gen_ht == sine_gen_ht_from_randoms given the same key-derived
+    draws (the refactor that exposed the randoms must not change serving
+    numerics by a single bit)."""
+    from diffsvc_tpu.vocoders import generator as G
+
+    key = jax.random.PRNGKey(7)
+    f0_up = jnp.concatenate([jnp.full((1, 100), 220.0),
+                             jnp.zeros((1, 28))], axis=1)
+    a, uv_a = G.sine_gen_ht(key, f0_up, 8000)
+    k1, k2 = jax.random.split(key)
+    ri = jax.random.uniform(k1, (1, 9), f0_up.dtype)
+    nz = jax.random.normal(k2, (1, 9, 128), f0_up.dtype)
+    b, uv_b = G.sine_gen_ht_from_randoms(ri, nz, f0_up, 8000)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(np.asarray(uv_a), np.asarray(uv_b))
+
+
 def test_multispeaker_encoder_uses_embedding(tmp_path):
     from diffsvc_tpu.models import fs2 as fs2_mod
     from diffsvc_tpu.models.diffusion import GaussianDiffusion
