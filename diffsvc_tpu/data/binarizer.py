@@ -100,7 +100,8 @@ class BaseBinarizer:
             item_name, meta_data["wav_fn"], self.hp,
             self.phone_encoder.encode, self.binarization_args,
             use_crepe=self.hp.get("use_crepe", False),
-            spk_id=self.item_name2spk_id(item_name))
+            spk_id=self.item_name2spk_id(item_name),
+            tg_fn=meta_data.get("tg_fn"), ph=meta_data.get("ph"))
 
     def process_data_split(self, prefix: str):
         hp = self.hp

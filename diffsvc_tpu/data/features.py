@@ -147,11 +147,16 @@ def wav2spec_for(hp: HParams, wav_fn) -> tuple:
 def process_item(item_name: str, wav_fn, hp: HParams, hubert_encode,
                  binarization_args: Optional[dict] = None,
                  use_crepe: Optional[bool] = None, threshold: float = 0.05,
-                 spk_id=None) -> Optional[Dict]:
+                 spk_id=None, tg_fn=None, ph=None) -> Optional[Dict]:
     """One utterance -> processed_input dict (mel, f0, pitch, hubert, mel2ph).
 
     Returns None (and prints) on failure, mirroring the binarizer skip-item
     behavior (``base_binarizer.py:169``, "Empty gt f0" guard).
+
+    ``tg_fn``/``ph``: optional MFA TextGrid + phoneme string for
+    forced-alignment mel2ph (TTS-style corpora; reference
+    ``base_binarizer.py:198-213``, there disabled).  SVC metadata carries
+    neither, so the uniform alignment is the production path.
     """
     ba = binarization_args or hp.get("binarization_args", {})
     use_crepe = hp.get("use_crepe", False) if use_crepe is None else use_crepe
@@ -172,8 +177,14 @@ def process_item(item_name: str, wav_fn, hp: HParams, hubert_encode,
         if ba.get("with_hubert", True):
             hubert_encoded = processed["hubert"] = hubert_encode(wav_fn)
             if ba.get("with_align", True):
-                processed["mel2ph"] = get_align_uniform(
-                    mel.shape[0], hubert_encoded.shape[0])
+                if tg_fn is not None and ph is not None:
+                    from .textgrid import get_mel2ph
+
+                    mel2ph, dur = get_mel2ph(tg_fn, ph, mel.shape[0], hp)
+                    processed["mel2ph"], processed["dur"] = mel2ph, dur
+                else:
+                    processed["mel2ph"] = get_align_uniform(
+                        mel.shape[0], hubert_encoded.shape[0])
     except Exception as e:
         print(f"| Skip item ({e}). item_name: {item_name}")
         return None

@@ -99,3 +99,48 @@ def test_pwg_init_apply_shapes():
     y = pwg.apply(params, cfg, z, mel)
     assert y.shape == (1, 80)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_pwg_official_dir_with_stats_h5(tmp_path):
+    """Official-format PWG directory (checkpoint-*steps.pkl +
+    config.yaml + stats.h5): the wrapper reads the StandardScaler stats
+    from hdf5 (reference network/vocoders/pwg.py:32-39 via
+    modules/parallel_wavegan/utils/utils.py:39-64) and normalizes the mel
+    before the generator."""
+    import pytest
+    import yaml
+
+    h5py = pytest.importorskip("h5py")
+
+    torch.manual_seed(1)
+    tm = TorchMiniPWG()
+    torch.save({"model": {"generator": tm.state_dict()}},
+               str(tmp_path / "checkpoint-400000steps.pkl"))
+    gen_params = dict(layers=6, stacks=2, residual_channels=8,
+                      gate_channels=16, skip_channels=8, aux_channels=4,
+                      aux_context_window=2,
+                      upsample_params={"upsample_scales": [2, 2]})
+    with open(tmp_path / "config.yaml", "w") as f:
+        yaml.safe_dump({"generator_params": gen_params, "hop_size": 4}, f)
+    rng = np.random.RandomState(0)
+    mean = rng.randn(4).astype(np.float32)
+    scale = (rng.rand(4) + 0.5).astype(np.float32)
+    with h5py.File(tmp_path / "stats.h5", "w") as f:
+        f.create_dataset("mean", data=mean)
+        f.create_dataset("scale", data=scale)
+
+    g = pwg.PWGGenerator({"vocoder_ckpt": str(tmp_path)})
+    np.testing.assert_allclose(g.scaler_mean, mean)
+    np.testing.assert_allclose(g.scaler_scale, scale)
+
+    mel = rng.randn(8, 4).astype(np.float32)
+    y = g.spec2wav(mel)
+    assert y.shape == (8 * 4,)
+
+    # independent path: normalize + edge-pad + apply with the same seed-0 z
+    c = (mel - mean) / scale
+    c = np.pad(c, ((2, 2), (0, 0)), "edge")
+    z = np.random.RandomState(0).randn(1, 8 * 4).astype(np.float32)
+    want = np.asarray(pwg.apply(g.params, g.cfg, jnp.asarray(z),
+                                jnp.asarray(c[None])))[0]
+    np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-6)
