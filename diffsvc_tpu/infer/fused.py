@@ -116,13 +116,19 @@ class FusedSvc:
         hop = hp["hop_size"]
         nfft = hp["fft_size"]
         nmel = hp["audio_num_mel_bins"]
-        is_nsf = "nsf" in str(hp.get("vocoder", "")).lower()
+        voc_name = str(hp.get("vocoder", "")).lower()
+        is_nsf = "nsf" in voc_name
+        # the iSTFT head trains on the NSF wav2spec (istft_head.wav2spec
+        # delegates to NsfHifiGAN's), so it shares the NSF mel geometry
+        # but consumes log10-mel directly (no ln conversion)
+        is_istft = "istft" in voc_name
+        nsf_mel = is_nsf or is_istft
         model = model if model is not None else self.model
         voc = self.vocoder
         speedup = self.speedup
 
         # static geometry
-        if is_nsf:
+        if nsf_mel:
             t_mel = 1 + (n44 + 2 * ((nfft - hop) // 2) - nfft) // hop
         else:
             t_mel = 1 + n44 // hop
@@ -148,7 +154,7 @@ class FusedSvc:
 
             # --- mel ---
             dft_prec = str(hp.get("mel_dft_precision", "highest"))
-            if is_nsf:
+            if nsf_mel:
                 mel = mel_ops.wav2mel_nsf(
                     wav44, sr=sr, n_fft=nfft, hop=hop, win_length=hp["win_size"],
                     n_mels=nmel, fmin=float(hp["fmin"]), fmax=float(hp["fmax"]),
@@ -231,7 +237,13 @@ class FusedSvc:
             lanes = getattr(voc, "pack_lanes", 0)
             tail_plan = getattr(voc, "tail_plan", None) if use_voc_tail \
                 else None
-            if tail_plan is not None:  # fused Pallas tail (vocoder_tail.py)
+            if is_istft:  # iSTFT-head family (vocoders/istft_head.py)
+                from ..vocoders import istft_head as ih
+
+                wav_out = ih.apply(
+                    voc_params, voc.cfg, voc_in,
+                    f0_voc if voc.cfg.use_f0 else None, dtype=dtype)
+            elif tail_plan is not None:  # fused Pallas tail (vocoder_tail.py)
                 wav_out = gen.apply_tail(
                     voc_params, voc.cfg, voc_in, f0_voc,
                     jax.random.fold_in(rng, 7), plan=tail_plan)

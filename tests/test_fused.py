@@ -242,3 +242,32 @@ def test_int16_output_mode(fused_model):
     np.testing.assert_allclose(dec, np.clip(np.asarray(ref_w), -1, 1),
                                atol=1.01 / 32767)
     np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+
+
+def test_fused_istft_vocoder(fused_model):
+    """vocoder: istftvocoder routes the fused epilogue through the
+    iSTFT-head family (NSF mel geometry, log10-mel input, f0 embedding);
+    the fused waveform must equal the head applied standalone on the
+    fused graph's own mel/f0."""
+    from diffsvc_tpu.vocoders import istft_head as ih
+
+    hp2 = fused_model.hp.copy()
+    hp2["vocoder"] = "istftvocoder"
+    hp2["use_nsf"] = True
+    hp2["istft_dim"] = 64
+    hp2["istft_layers"] = 2
+    icfg = ih.IstftVocoderConfig.from_hparams(hp2)
+    iparams = ih.init(jax.random.PRNGKey(5), icfg)
+    voc = SimpleNamespace(params=iparams, cfg=icfg)
+    fused = FusedSvc(hp2, fused_model.params, voc,
+                     hubert_params=fused_model.hub_params,
+                     hubert_cfg=fused_model.hub_cfg, speedup=5)
+    t = np.arange(8000) / 8000
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav_out, f0, mel = fused(wav)
+    w = np.asarray(wav_out)
+    assert np.isfinite(w).all()
+    assert w.shape[0] == np.asarray(mel).shape[0] * hp2["hop_size"]
+    want = np.asarray(ih.apply(iparams, icfg, jnp.asarray(mel)[None],
+                               jnp.asarray(f0)[None])[0])
+    np.testing.assert_allclose(w, want, rtol=1e-5, atol=1e-6)
