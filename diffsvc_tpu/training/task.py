@@ -39,14 +39,22 @@ class SVCTask:
     # ------------------------------------------------------------------
     def _build_optimizer(self):
         hp = self.hp
+        b1 = float(hp.get("optimizer_adam_beta1", 0.9))
+        b2 = float(hp.get("optimizer_adam_beta2", 0.98))
+        name = str(hp.get("optimizer", "adamw")).lower()
+        if name == "radam":
+            # reference vendors RAdam for PWG training
+            # (modules/parallel_wavegan/optimizers/radam.py); optax has it.
+            opt = optax.radam(self.lr_schedule, b1=b1, b2=b2)
+        elif name in ("adamw", "adam"):
+            opt = optax.adamw(
+                self.lr_schedule, b1=b1, b2=b2,
+                weight_decay=float(hp.get("weight_decay", 0) or 0.0))
+        else:
+            raise ValueError(f"unknown optimizer: {name!r}")
         tx = optax.chain(
             optax.clip_by_global_norm(float(hp.get("clip_grad_norm", 1) or 1e9)),
-            optax.adamw(
-                self.lr_schedule,
-                b1=float(hp.get("optimizer_adam_beta1", 0.9)),
-                b2=float(hp.get("optimizer_adam_beta2", 0.98)),
-                weight_decay=float(hp.get("weight_decay", 0) or 0.0),
-            ),
+            opt,
         )
         if self.accumulate > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate)

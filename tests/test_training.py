@@ -163,6 +163,30 @@ def test_train_matmul_precision_hparam(binarized):
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
 
 
+def test_optimizer_radam_option(binarized):
+    """optimizer: radam wires optax.radam (reference vendors RAdam for PWG,
+    modules/parallel_wavegan/optimizers/radam.py); steps stay finite and
+    params move."""
+    tmp, hp = binarized
+    hp_r = HParams(dict(hp))
+    hp_r["optimizer"] = "radam"
+    ds = FastSpeechDataset("train", hp, shuffle=False)
+    batch = ds.collater([ds[0]], pad_multiple=32)
+    rng = jax.random.PRNGKey(0)
+    task = SVCTask(hp_r)
+    state = task.init_state()
+    p0 = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(state["params"])]
+    for _ in range(2):
+        state, metrics = task.train_step(state, dict(batch), rng)
+    assert np.isfinite(float(metrics["loss"]))
+    p1 = jax.tree_util.tree_leaves(state["params"])
+    assert any(not np.allclose(a, b) for a, b in zip(p0, p1))
+    with pytest.raises(ValueError):
+        hp_bad = HParams(dict(hp))
+        hp_bad["optimizer"] = "sgdx"
+        SVCTask(hp_bad)
+
+
 def test_trainer_fit_and_resume(binarized):
     tmp, hp = binarized
     hp = HParams(dict(hp))
