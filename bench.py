@@ -239,6 +239,27 @@ def main():
         hp_i16, params, voc_best, hubert_params=hub_params,
         hubert_cfg=hub_cfg, speedup=SPEEDUP)
 
+    # beyond-reference iSTFT-head vocoder in the same fused+int16 config
+    # (BASELINE.md: frame-rate backbone + inverse-rDFT, no MXU-pass-bound
+    # tail; random weights time identically to trained ones). Ride-along
+    # diagnostic only — the headline stays the reference-checkpoint-
+    # compatible NSF-HiFiGAN config.
+    try:
+        from diffsvc_tpu.vocoders import istft_head as ih
+
+        hp_istft = dict(hp_i16)
+        hp_istft["vocoder"] = "istftvocoder"
+        hp_istft["voc_compute_dtype"] = "bfloat16"
+        hp_istft["istft_dim"] = 512
+        hp_istft["istft_layers"] = 8
+        icfg = ih.IstftVocoderConfig.from_hparams(HParams(dict(hp_istft)))
+        ih_params = ih.init(jax.random.PRNGKey(5), icfg)
+        variants["istft_int16"] = FusedSvc(
+            hp_istft, params, SimpleNamespace(params=ih_params, cfg=icfg),
+            hubert_params=hub_params, hubert_cfg=hub_cfg, speedup=SPEEDUP)
+    except Exception as e:  # diagnostic variant must never sink the bench
+        log(f"| istft variant skipped: {e!r}")
+
     log("| fused warmup (compile all variants)...")
     t0 = time.time()
     for name, f in variants.items():
@@ -261,6 +282,7 @@ def main():
     rtf_mix = rtfs["bf16_packed_voc"]
     rtf_tail = rtfs.get("bf16_pallas_tail", float("nan"))
     rtf_i16 = rtfs["int16_out"]
+    rtf_istft = rtfs.get("istft_int16", float("nan"))
     fused_mix = variants["bf16_packed_voc"]
     fused_prod = variants["int16_out"]
 
@@ -313,6 +335,7 @@ def main():
         "rtf_bf16_packed_voc": round(rtf_mix, 5),
         "rtf_bf16_pallas_tail": round(rtf_tail, 5) if rtf_tail == rtf_tail else None,
         "rtf_int16_out": round(rtf_i16, 5) if rtf_i16 == rtf_i16 else None,
+        "rtf_istft_voc": round(rtf_istft, 5) if rtf_istft == rtf_istft else None,
         "rtf_pipelined": round(rtf_tp, 5),
         "rtf_batched": round(rtf_batched, 5),
     }))

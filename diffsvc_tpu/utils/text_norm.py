@@ -26,8 +26,9 @@ DIGITS_BIG = "零壹贰叁肆伍陆柒捌玖"
 UNITS_SMALL = ["", "十", "百", "千"]
 UNITS_SMALL_BIG = ["", "拾", "佰", "仟"]
 # mid-scale numbering: each group of 4 decimal digits gets one large unit
-UNITS_LARGE = ["", "万", "亿", "万亿", "亿亿"]
-UNITS_LARGE_BIG = ["", "萬", "億", "萬億", "億億"]
+# (capped at 万亿 = 1e12 so every emitted string parses back via chn2num)
+UNITS_LARGE = ["", "万", "亿", "万亿"]
+UNITS_LARGE_BIG = ["", "萬", "億", "萬億"]
 
 # punctuation tables kept for API parity with the reference module
 CHINESE_PUNC_STOP = "！？｡。"
@@ -141,7 +142,9 @@ def chn2num(text: str) -> int:
             section = (section + cur) * 10 ** 4
             cur = 0
         elif ch in ("亿", "億"):
-            total = (total + section + cur) * 10 ** 8
+            # additive collapse: 万亿-scale sections (五十九万亿…亿…) keep
+            # earlier 亿-chunks intact in `total`
+            total += (section + cur) * 10 ** 8
             section = cur = 0
         else:
             raise ValueError(f"not a Chinese numeral: {text!r}")

@@ -58,8 +58,13 @@ def test_chn2num(text, expect):
 
 def test_roundtrip():
     for n in [0, 7, 10, 19, 99, 100, 101, 110, 1001, 9999, 10000, 10010,
-              54321, 1000001, 99999999, 100000001, 12_3456_7890]:
+              54321, 1000001, 99999999, 100000001, 12_3456_7890,
+              # 万亿-scale with later 亿/万 sections (regression: the second
+              # 亿 must collapse additively, not rescale the total)
+              59_1927_6787_4690, 9_3712_3100_2986, 10**16 - 1]:
         assert chn2num(num2chn(n)) == n, n
+    with pytest.raises(ValueError):
+        num2chn(10 ** 16)  # beyond the supported 万亿 group
 
 
 def test_nsw_cardinal_and_decimal():
