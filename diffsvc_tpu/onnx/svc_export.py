@@ -228,6 +228,52 @@ def export_vocoder_onnx(cfg, params, out_dir: str, project_name: str,
     return path
 
 
+def export_istft_onnx(cfg, params, out_dir: str, project_name: str,
+                      t_mel: int = 430) -> str:
+    """Write ``{proj}_istft.onnx``: the iSTFT-head vocoder
+    (vocoders/istft_head.py, beyond-reference family) as one ONNX graph.
+
+    Inputs:
+
+    - ``mel`` f32[1, T, M]  log10-mel (the diffusion output domain)
+    - ``f0``  f32[1, T]     Hz (only when ``cfg.use_f0``)
+
+    FIXED length (no dynamic axes): the normalized overlap-add envelope
+    in ops/istft.py is a trace-time constant shaped by T, so a graph is
+    exact only at its trace length. Export one artifact per serving
+    bucket (the same bucketing the fused serving path uses);
+    ``t_mel=430`` is the 10 s @ 44.1 kHz/512 bucket.
+    """
+    import jax.numpy as jnp
+
+    from ..vocoders import istft_head as ih
+
+    os.makedirs(out_dir, exist_ok=True)
+    m = cfg.num_mels
+    if cfg.use_f0:
+        def voc_fn(mel, f0):
+            return ih.apply(params, cfg, mel, f0)
+
+        args = (jnp.zeros((1, t_mel, m), jnp.float32),
+                jnp.full((1, t_mel), 220.0, jnp.float32))
+        input_names = ["mel", "f0"]
+    else:
+        def voc_fn(mel):
+            return ih.apply(params, cfg, mel)
+
+        args = (jnp.zeros((1, t_mel, m), jnp.float32),)
+        input_names = ["mel"]
+
+    path = os.path.join(out_dir, f"{project_name}_istft.onnx")
+    with open(path, "wb") as f:
+        f.write(export_onnx(
+            voc_fn, args, input_names=input_names, output_names=["waveform"],
+            dynamic_axes=None, graph_name="istft_head",
+            doc=f"iSTFT-head vocoder ({project_name}), fixed T={t_mel}; "
+                "beyond-reference family (vocoders/istft_head.py)"))
+    return path
+
+
 class SvcOnnx:
     """CLI-facing facade mirroring the reference ``SvcOnnx`` usage
     (reference onnx_export.py:6-17): load a project checkpoint, call

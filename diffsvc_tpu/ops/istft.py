@@ -69,4 +69,6 @@ def istft(re: jnp.ndarray, im: jnp.ndarray, *, n_fft: int, hop: int,
     y = y / jnp.asarray(np.maximum(env, 1e-8))
     y = y.reshape(-1)
     start = n_fft // 2
-    return jax.lax.dynamic_slice(jnp.pad(y, (0, n_fft)), (start,), (length,))
+    # static slice (start/length are trace constants): identical to a
+    # dynamic_slice here, but stays a Slice under vmap (ONNX-exportable)
+    return jnp.pad(y, (0, n_fft))[start:start + length]

@@ -57,11 +57,20 @@ if __name__ == "__main__":
 
         paths = export_svc_onnx(hp, params, out_dir, args.project)
         if args.vocoder:
-            from diffsvc_tpu.vocoders.nsf_hifigan import load_model
+            if "istft" in str(hp.get("vocoder", "")).lower():
+                from diffsvc_tpu.onnx.svc_export import export_istft_onnx
+                from diffsvc_tpu.vocoders import istft_head as ih
 
-            vparams, vcfg, _ = load_model(str(hp["vocoder_ckpt"]))
-            paths["hifigan"] = export_vocoder_onnx(vcfg, vparams, out_dir,
-                                                   args.project)
+                icfg = ih.IstftVocoderConfig.from_hparams(hp)
+                iparams = ih.load_params(str(hp["vocoder_ckpt"]), icfg)
+                paths["istft"] = export_istft_onnx(
+                    icfg, iparams, out_dir, args.project, t_mel=args.t_mel)
+            else:
+                from diffsvc_tpu.vocoders.nsf_hifigan import load_model
+
+                vparams, vcfg, _ = load_model(str(hp["vocoder_ckpt"]))
+                paths["hifigan"] = export_vocoder_onnx(vcfg, vparams, out_dir,
+                                                       args.project)
     else:
         from diffsvc_tpu.infer.export import SvcExporter
 

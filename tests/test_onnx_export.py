@@ -305,6 +305,42 @@ def test_vocoder_onnx_plain_hifigan(tmp_path):
     np.testing.assert_allclose(r(mel)[0], want, rtol=1e-4, atol=1e-6)
 
 
+def test_vocoder_onnx_istft_head(tmp_path):
+    """{proj}_istft.onnx reproduces the iSTFT-head vocoder at its (fixed)
+    trace length — exercises Gather (coarse-f0 embedding), Erf (gelu) and
+    the overlap-add pad/add chain through the numpy runtime."""
+    from diffsvc_tpu.onnx.svc_export import export_istft_onnx
+    from diffsvc_tpu.vocoders import istft_head as ih
+
+    cfg = ih.IstftVocoderConfig(
+        num_mels=8, dim=32, n_layers=2, n_fft=64, hop=16,
+        sampling_rate=8000, use_f0=True, f0_bin=32)
+    p = ih.init(jax.random.PRNGKey(2), cfg)
+    T = 12
+    path = export_istft_onnx(cfg, p, str(tmp_path), "proj", t_mel=T)
+    r = OnnxRunner(open(path, "rb").read())
+    assert r.input_names == ["mel", "f0"]
+    assert r.output_names == ["waveform"]
+
+    rng = np.random.RandomState(7)
+    mel = rng.randn(1, T, 8).astype(np.float32) - 2.0
+    f0 = (rng.rand(1, T) * 300 + 80).astype(np.float32)
+    f0[0, ::4] = 0.0  # padded/unvoiced frames hit the embedding row 1 quirk
+    got = r(mel, f0)[0]
+    want = np.asarray(ih.apply(p, cfg, jnp.asarray(mel), jnp.asarray(f0)))
+    assert got.shape == (1, T * cfg.hop)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # no-f0 variant: single input
+    cfg0 = cfg._replace(use_f0=False)
+    p0 = ih.init(jax.random.PRNGKey(3), cfg0)
+    path0 = export_istft_onnx(cfg0, p0, str(tmp_path), "nof0", t_mel=T)
+    r0 = OnnxRunner(open(path0, "rb").read())
+    assert r0.input_names == ["mel"]
+    want0 = np.asarray(ih.apply(p0, cfg0, jnp.asarray(mel)))
+    np.testing.assert_allclose(r0(mel)[0], want0, rtol=1e-4, atol=1e-5)
+
+
 def test_sine_gen_refactor_bit_parity():
     """sine_gen_ht == sine_gen_ht_from_randoms given the same key-derived
     draws (the refactor that exposed the randoms must not change serving
