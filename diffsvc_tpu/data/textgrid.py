@@ -167,8 +167,12 @@ def align_ph_to_intervals(ph_list: List[str],
         if iv.text != "" and iv.text.lower() not in (ph.lower(), "sil"):
             raise ValueError(f"alignment text {iv.text!r} != phoneme {ph!r}")
         split[pi] = iv.xmin
-        if pi > 0 and split[pi - 1] == -1 and is_sil_phoneme(ph_list[pi - 1]):
-            split[pi - 1] = split[pi]
+        # back-fill EVERY pending zero-length silence phoneme (there can be
+        # several in a row, e.g. "sp sil" when silences were merged away)
+        j = pi - 1
+        while j > 0 and split[j] == -1 and is_sil_phoneme(ph_list[j]):
+            split[j] = split[pi]
+            j -= 1
         pi += 1
         ti += 1
     split[0] = 0.0

@@ -237,24 +237,50 @@ def p_sample_plms_scan(tables, denoise_fn, x, t_start: int, interval: int):
     return x
 
 
-def p_sample_dpmpp_2m_scan(tables, denoise_fn, x, t_start: int, interval: int):
-    """DPM-Solver++(2M) for epsilon prediction — a second-order multistep
-    solver that typically beats PLMS at the same NFE count (not in the
-    reference; select with ``sampler: dpmpp``).
+def p_sample_dpmpp_2m_scan(tables, denoise_fn, x, t_start: int, interval: int,
+                           grid: str = "lambda"):
+    """DPM-Solver++(2M) for epsilon prediction — a second-order exponential
+    multistep solver (not in the reference; select with ``sampler: dpmpp``).
+
+    Sampler choice is score-dependent (tests/test_dpmpp.py quantifies both
+    regimes on analytic scores): on strongly peaked data (point mass) the
+    data-prediction form is more accurate than PLMS at low NFE; on smooth
+    scores PLMS's 4th-order multistep wins at every NFE, which is why
+    ``plms`` stays the default. dpmpp's value is robustness at aggressive
+    step counts (real denoisers at low NFE behave closer to the peaked
+    regime than the smooth one).
 
     Data-prediction formulation over log-SNR lambda = log(alpha/sigma):
         x0_i   = (x_i - sigma_i * eps_i) / alpha_i
         D_i    = x0_i + (x0_i - x0_{i-1}) * (h_i / (2 h_{i-1}))   (2M term)
         x_{i+1}= (sigma_{i+1}/sigma_i) x_i - alpha_{i+1} expm1(-h_i) D_i
     with h_i = lambda_{i+1} - lambda_i; first step falls back to 1st order.
+
+    ``grid``: "lambda" (default) visits the discrete timesteps closest to a
+    uniform log-SNR spacing — the standard DPM-Solver grid, measurably more
+    accurate at equal NFE than uniform-t; "t" keeps the PLMS-style uniform
+    timestep grid. Both grids are host-side numpy at trace time; the scan
+    length (= NFE) is identical.
     """
     # ceil like the PLMS grid so the first visited step is t_start-1 (the
     # initial x is pure noise calibrated there) for any interval
     n_steps = max(-(-t_start // interval), 1)
-    # timesteps visited: t_start-interval*k (k=0..n_steps-1) then 0
-    ts = np.concatenate([np.arange(n_steps - 1, -1, -1) * interval
-                         + (interval - 1), [0]]).astype(np.int32)
-    ts = np.clip(ts, 0, t_start - 1)
+    ac_np = np.asarray(tables["alphas_cumprod"])
+    if grid == "lambda":
+        lam_np = 0.5 * (np.log(ac_np) - np.log(np.maximum(1.0 - ac_np, 1e-12)))
+        target = np.linspace(lam_np[t_start - 1], lam_np[0], n_steps + 1)
+        ts = np.array([int(np.abs(lam_np[:t_start] - tv).argmin())
+                       for tv in target], np.int32)
+        # lam is strictly monotonic in t so duplicates only appear when
+        # n_steps approaches t_start; drop them (shortens the scan, host-side)
+        keep = np.concatenate([[True], ts[1:] != ts[:-1]])
+        ts = ts[keep]
+        ts[-1] = 0
+    else:
+        # timesteps visited: t_start-interval*k (k=0..n_steps-1) then 0
+        ts = np.concatenate([np.arange(n_steps - 1, -1, -1) * interval
+                             + (interval - 1), [0]]).astype(np.int32)
+        ts = np.clip(ts, 0, t_start - 1)
     ac = tables["alphas_cumprod"]
     alpha = jnp.sqrt(ac)
     sigma = jnp.sqrt(1.0 - ac)
@@ -430,7 +456,9 @@ class GaussianDiffusion:
         sampler = str(self.hp.get("sampler", "plms")).lower()
         if speedup and speedup > 1 and sampler in ("dpmpp", "dpm++", "dpm_solver"):
             x = p_sample_dpmpp_2m_scan(self.tables, denoise_fn, x, t_start,
-                                       int(speedup))
+                                       int(speedup),
+                                       grid=str(self.hp.get("dpmpp_grid",
+                                                            "lambda")))
         elif speedup and speedup > 1:
             x = p_sample_plms_scan(self.tables, denoise_fn, x, t_start, int(speedup))
         else:

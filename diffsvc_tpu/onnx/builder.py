@@ -96,7 +96,7 @@ class GraphBuilder:
         self.opset = opset
         self.producer = producer
         self._counter = 0
-        self._init_names: Dict[str, str] = {}
+        self._init_names: Dict[tuple, str] = {}
 
     def fresh(self, hint: str = "t") -> str:
         self._counter += 1
@@ -107,12 +107,13 @@ class GraphBuilder:
         """Add a constant tensor; dedupes identical arrays by content."""
         arr = np.asarray(arr)
         if name is None:
+            # key on the content itself (not hash(key)) — a 64-bit hash
+            # collision would silently alias two different weight tensors
             key = (arr.dtype.str, arr.shape, arr.tobytes())
-            hkey = str(hash(key))
-            if hkey in self._init_names:
-                return self._init_names[hkey]
+            if key in self._init_names:
+                return self._init_names[key]
             name = self.fresh(hint)
-            self._init_names[hkey] = name
+            self._init_names[key] = name
         self.graph.initializer.append(tensor_from_array(arr, name))
         return name
 

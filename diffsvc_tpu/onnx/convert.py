@@ -88,7 +88,9 @@ def _merge_dim(a, b):
         # same extent at trace time (jax checked); keep the first symbol
         return a
     if isinstance(a, str):
-        return a if b == 1 or True else a
+        # symbol vs concrete: jax already checked the extents are
+        # broadcast-compatible at trace time; keep the symbol
+        return a
     if isinstance(b, str):
         return b
     if a == 1:

@@ -175,7 +175,11 @@ class OnnxRunner:
     def op_Div(self, ins, attrs):
         a, b = ins
         if np.issubdtype(a.dtype, np.integer) and np.issubdtype(b.dtype, np.integer):
-            return (a / b).astype(a.dtype) if False else np.floor_divide(a, b)
+            # ONNX integer Div truncates toward zero (like lax.div / C),
+            # NOT numpy's floor division — they differ on negative operands
+            q = np.floor_divide(a, b)
+            r = a - q * b
+            return (q + ((r != 0) & ((a < 0) != (b < 0)))).astype(a.dtype)
         return a / b
 
     def op_Mod(self, ins, attrs):
@@ -478,10 +482,15 @@ class OnnxRunner:
 
     def op_CumSum(self, ins, attrs):
         data, axis = ins
-        out = np.cumsum(data, axis=int(axis))
+        ax = int(axis)
+        if attrs.get("reverse"):
+            data = np.flip(data, axis=ax)
+        out = np.cumsum(data, axis=ax)
         if attrs.get("exclusive"):
-            out = np.roll(out, 1, axis=int(axis))
+            out = np.roll(out, 1, axis=ax)
             sl = [slice(None)] * data.ndim
-            sl[int(axis)] = 0
+            sl[ax] = 0
             out[tuple(sl)] = 0
+        if attrs.get("reverse"):
+            out = np.flip(out, axis=ax)
         return out.astype(data.dtype)

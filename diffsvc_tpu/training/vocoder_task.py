@@ -76,7 +76,15 @@ class VocoderTask:
     # ------------------------------------------------------------------
     def _mel_for_loss(self, wav):
         hp = self.hp
-        fn = mel_ops.wav2mel_nsf if "nsf" in str(hp.get("vocoder", "nsf")).lower() \
+        voc = str(hp.get("vocoder", "nsf")).lower()
+        # NSF nvSTFT mel for BOTH the nsf-hifigan family and the iSTFT head:
+        # IstftVocoder.wav2spec delegates to NsfHifiGAN.wav2spec, so the GAN
+        # mel-L1 must be computed in the same geometry the model is
+        # conditioned and served with (reflect pad (n_fft-hop)/2,
+        # center=False, S frames for an S-frame segment). PWG log10-mel
+        # (center=True constant pad, S+1 frames) only for the legacy
+        # pwg/hifigan wrappers.
+        fn = mel_ops.wav2mel_nsf if ("nsf" in voc or "istft" in voc) \
             else mel_ops.wav2mel_pwg
         return jax.vmap(lambda w: fn(
             w, sr=hp["audio_sample_rate"], n_fft=hp["fft_size"],

@@ -161,6 +161,22 @@ def _digits_spoken(s: str, alt_one: bool = True) -> str:
     return "".join(out)
 
 
+def _num_spoken_safe(s: str, **kw) -> str:
+    """num2chn with graceful degradation: numbers whose integer part
+    exceeds the unit table (>16 digits, possibly signed / with a decimal
+    point) read digit-by-digit instead of raising — a text-normalization
+    frontend must never crash on arbitrary input text."""
+    try:
+        return num2chn(s, **kw)
+    except ValueError:
+        out = "负" if str(s).startswith(("-", "负")) else ""
+        ip, _, fp = str(s).lstrip("+-负").partition(".")
+        out += _digits_spoken(ip)
+        if fp:
+            out += "点" + _digits_spoken(fp)
+        return out
+
+
 class NSWNormalizer:
     """Normalize non-standard words in Chinese text to spoken characters.
 
@@ -193,15 +209,15 @@ class NSWNormalizer:
     @staticmethod
     def _fraction(m: re.Match) -> str:
         num, den = m.group(1), m.group(2)
-        return num2chn(den) + "分之" + num2chn(num)
+        return _num_spoken_safe(den) + "分之" + _num_spoken_safe(num)
 
     @staticmethod
     def _percentage(m: re.Match) -> str:
-        return "百分之" + num2chn(m.group(1))
+        return "百分之" + _num_spoken_safe(m.group(1))
 
     @staticmethod
     def _money(m: re.Match) -> str:
-        return num2chn(m.group(1), alt_two=True) + m.group(2)
+        return _num_spoken_safe(m.group(1), alt_two=True) + m.group(2)
 
     @staticmethod
     def _cardinal(m: re.Match) -> str:
@@ -209,7 +225,7 @@ class NSWNormalizer:
         # very long bare digit runs (ids, codes) read digit-by-digit
         if "." not in s and "-" not in s and len(s) > 12:
             return _digits_spoken(s)
-        return num2chn(s)
+        return _num_spoken_safe(s)
 
     def normalize(self) -> str:
         text = self.raw_text
@@ -228,12 +244,13 @@ class NSWNormalizer:
         # percentages: 95% / 3.5% / 百分之95
         text = re.sub(r"(\d+(?:\.\d+)?)[%％]", self._percentage, text)
         text = re.sub(r"百分之(\d+(?:\.\d+)?)",
-                      lambda m: "百分之" + num2chn(m.group(1)), text)
+                      lambda m: "百分之" + _num_spoken_safe(m.group(1)), text)
         # money: 13.5元 / 99块 / 5角 / ￥20
         text = re.sub(r"(\d+(?:\.\d+)?)(元|块钱|块|角|毛|分钱)",
                       self._money, text)
         text = re.sub(r"[￥¥](\d+(?:\.\d+)?)",
-                      lambda m: num2chn(m.group(1), alt_two=True) + "元", text)
+                      lambda m: _num_spoken_safe(m.group(1), alt_two=True) + "元",
+                      text)
         # remaining numbers (optionally signed / decimal) as cardinals
         text = re.sub(r"-?\d+(?:\.\d+)?", self._cardinal, text)
         return text

@@ -385,3 +385,28 @@ def test_multispeaker_encoder_uses_embedding(tmp_path):
     a = enc(hub, mel2ph, np.asarray([0], np.int64), f0)[0]
     b = enc(hub, mel2ph, np.asarray([2], np.int64), f0)[0]
     assert np.abs(a - b).max() > 1e-3
+
+
+def test_runtime_integer_div_truncates_toward_zero():
+    # ONNX Div on ints truncates toward zero (lax.div / C semantics),
+    # not numpy floor division — they differ on negative operands
+    from diffsvc_tpu.onnx.runtime import OnnxRunner
+
+    ev = OnnxRunner.__new__(OnnxRunner)
+    a = np.array([-3, 3, -7, 7], np.int64)
+    b = np.array([2, 2, 2, -2], np.int64)
+    np.testing.assert_array_equal(ev.op_Div([a, b], {}), [-1, 1, -3, -3])
+
+
+def test_runtime_cumsum_reverse_and_exclusive():
+    from diffsvc_tpu.onnx.runtime import OnnxRunner
+
+    ev = OnnxRunner.__new__(OnnxRunner)
+    d = np.array([1.0, 2.0, 3.0], np.float32)
+    ax = np.int64(0)
+    np.testing.assert_allclose(ev.op_CumSum([d, ax], {"reverse": 1}),
+                               [6.0, 5.0, 3.0])
+    np.testing.assert_allclose(
+        ev.op_CumSum([d, ax], {"reverse": 1, "exclusive": 1}),
+        [5.0, 3.0, 0.0])
+    np.testing.assert_allclose(ev.op_CumSum([d, ax], {}), [1.0, 3.0, 6.0])

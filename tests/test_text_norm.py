@@ -100,3 +100,13 @@ def test_nsw_money():
 def test_nsw_long_digit_string_read_digitwise():
     out = NSWNormalizer("编号1000000000000001").normalize()
     assert out == "编号幺零零零零零零零零零零零零零零幺"
+
+
+def test_nsw_huge_number_with_decimal_degrades_gracefully():
+    # integer part beyond num2chn's unit table (17+ digits) combined with
+    # a decimal point: the frontend must not raise — it falls back to a
+    # digit-by-digit reading like the bare long-digit-run path
+    out = NSWNormalizer("编号12345678901234567.5元").normalize()
+    assert "点五" in out and "二三四五六七八九" in out
+    neg = NSWNormalizer("-99999999999999999").normalize()
+    assert neg.startswith("负")

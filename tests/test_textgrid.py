@@ -164,3 +164,16 @@ def test_process_item_uses_textgrid_when_given(tmp_path, monkeypatch):
     assert "dur" in item_tg and item_tg["dur"].sum() == n_frames
     # uniform path differs (20 hubert units -> values beyond 2)
     assert item_u["mel2ph"].max() > 2
+
+
+def test_get_mel2ph_two_consecutive_sils_backfill(tmp_path):
+    # TWO silence phonemes between AA and B, no silence interval in the
+    # grid (silences merged away): BOTH must collapse to zero frames at
+    # B's start — back-fill walks past every pending silence, not just
+    # the most recent one
+    text = _make_textgrid([(0.0, 0.5, "AA"), (0.5, 1.0, "B")])
+    p = tmp_path / "e.TextGrid"
+    p.write_text(text)
+    mel2ph, dur = tg.get_mel2ph(str(p), "AA <sp> <sil> B", 10, HP)
+    np.testing.assert_array_equal(mel2ph, [1, 1, 1, 1, 1, 4, 4, 4, 4, 4])
+    np.testing.assert_array_equal(dur, [5, 0, 0, 5])

@@ -121,7 +121,7 @@ def main():
         f = jnp.asarray(held_out["f0"])[None]
         y_hat = ih.apply(g_params, task.icfg, m, f)
         mel_hat = task._mel_for_loss(y_hat)
-        n = min(mel_hat.shape[1], m.shape[1])   # centered-STFT off-by-one
+        n = min(mel_hat.shape[1], m.shape[1])   # guard; both are NSF-mel now
         return jnp.abs(mel_hat[:, :n] - m[:, :n]).mean(), y_hat[0]
 
     held_fn = jax.jit(held_out_mel_l1)
