@@ -243,6 +243,17 @@ def main():
         hp_i16, params, voc_best, hubert_params=hub_params,
         hubert_cfg=hub_cfg, speedup=SPEEDUP)
 
+    # beyond-reference DPM-Solver++(2M) at acc=50 (21 NFE vs PLMS acc=20's
+    # 51) on the SAME production stack — the sampler step count is the
+    # biggest remaining device-time knob (~18 ms of sampling at 50 NFE).
+    # Ride-along diagnostic; headline stays the reference protocol (acc=20).
+    hp_dpm = dict(hp_i16)
+    hp_dpm["sampler"] = "dpmpp"
+    hp_dpm["pndm_speedup"] = 50
+    variants["dpmpp50_int16"] = FusedSvc(
+        hp_dpm, params, voc_best, hubert_params=hub_params,
+        hubert_cfg=hub_cfg, speedup=50)
+
     # beyond-reference iSTFT-head vocoder in the same fused+int16 config
     # (BASELINE.md: frame-rate backbone + inverse-rDFT, no MXU-pass-bound
     # tail; random weights time identically to trained ones). Ride-along
@@ -287,6 +298,7 @@ def main():
     rtf_tail = rtfs.get("bf16_pallas_tail", float("nan"))
     rtf_i16 = rtfs["int16_out"]
     rtf_istft = rtfs.get("istft_int16", float("nan"))
+    rtf_dpm = rtfs.get("dpmpp50_int16", float("nan"))
     fused_mix = variants["bf16_packed_voc"]
     fused_prod = variants["int16_out"]
 
@@ -340,6 +352,7 @@ def main():
         "rtf_bf16_pallas_tail": round(rtf_tail, 5) if rtf_tail == rtf_tail else None,
         "rtf_int16_out": round(rtf_i16, 5) if rtf_i16 == rtf_i16 else None,
         "rtf_istft_voc": round(rtf_istft, 5) if rtf_istft == rtf_istft else None,
+        "rtf_dpmpp50": round(rtf_dpm, 5) if rtf_dpm == rtf_dpm else None,
         "rtf_pipelined": round(rtf_tp, 5),
         "rtf_batched": round(rtf_batched, 5),
     }))

@@ -271,3 +271,22 @@ def test_fused_istft_vocoder(fused_model):
     want = np.asarray(ih.apply(iparams, icfg, jnp.asarray(mel)[None],
                                jnp.asarray(f0)[None])[0])
     np.testing.assert_allclose(w, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_dpmpp_sampler(fused_model):
+    """sampler: dpmpp flows from hp through the fused graph (model.infer
+    reads it lazily at trace time): output must be finite, pitch-preserving,
+    and DIFFERENT from the PLMS trajectory on the same rng."""
+    t = np.arange(8000) / 8000
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    plms_w, _, plms_m = fused_model(wav, rng=jax.random.PRNGKey(7))
+
+    hp2 = HParams(**{**fused_model.hp, "sampler": "dpmpp"})
+    fs = FusedSvc(hp2, fused_model.params, fused_model.vocoder,
+                  hubert_params=fused_model.hub_params,
+                  hubert_cfg=fused_model.hub_cfg, speedup=5)
+    got_w, f0, got_m = fs(wav, rng=jax.random.PRNGKey(7))
+    assert np.isfinite(np.asarray(got_w)).all()
+    v = np.asarray(f0)
+    assert abs(np.median(v[v > 0]) - 220.0) < 5
+    assert not np.array_equal(np.asarray(got_m), np.asarray(plms_m))
