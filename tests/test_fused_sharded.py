@@ -81,3 +81,27 @@ def test_sharded_batched_pads_ragged_n(fused):
     assert len(got) == 5
     for (rw, _, _), (gw, _, _) in zip(ref, got):
         np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-5)
+
+
+def test_sharded_batched_istft_vocoder(fused):
+    """The iSTFT-head vocoder family through the SHARDED batched fused
+    graph: same single-device-vs-mesh exactness as the conv vocoder (its
+    frame-rate matmuls carry no cross-chunk math either)."""
+    from diffsvc_tpu.vocoders import istft_head as ih
+
+    hp2 = HParams(**{**fused.hp, "vocoder": "istftvocoder", "use_nsf": True,
+                     "istft_dim": 64, "istft_layers": 2})
+    icfg = ih.IstftVocoderConfig.from_hparams(hp2)
+    iparams = ih.init(jax.random.PRNGKey(9), icfg)
+    fs = FusedSvc(hp2, fused.params,
+                  SimpleNamespace(params=iparams, cfg=icfg),
+                  hubert_params=fused.hub_params, hubert_cfg=fused.hub_cfg,
+                  speedup=5)
+    mesh = mesh_lib.make_mesh(("data",))
+    wavs = _chunks(8, seed=2)
+    ref = fs.batched(wavs, rng=jax.random.PRNGKey(5))
+    got = fs.batched_sharded(wavs, mesh, rng=jax.random.PRNGKey(5))
+    assert len(got) == 8
+    for (rw, rf, rm), (gw, gf, gm) in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(rm), atol=1e-5)

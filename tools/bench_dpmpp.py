@@ -131,19 +131,22 @@ def main():
         log(f"| fused RTF {name}: {out[f'rtf_{name}']:.4f} (runs: "
             + " ".join(f"{x:.3f}" for x in times[name]) + ")")
 
-    # pipelined serving on the two dpmpp stacks
+    # pipelined serving: depth sweep — deeper pipelines hide more of the
+    # per-dispatch tunnel latency + output fetch, exposing the device floor
     for name in ("prod_plms20", "prod_dpmpp50", "istft_dpmpp50"):
         f = variants[name]
-        best = 1e9
-        for r in range(3):
-            t0 = time.time()
-            outs = [f(wav, rng=jax.random.PRNGKey(7 + 4 * r + i))
-                    for i in range(4)]
-            for o in outs:
-                _sync(o)
-            best = min(best, (time.time() - t0) / (4 * SECS))
-        out[f"rtf_{name}_pipelined"] = round(best, 5)
-        log(f"| pipelined RTF {name}: {best:.4f}")
+        for depth in (4, 8):
+            best = 1e9
+            for r in range(3):
+                t0 = time.time()
+                outs = [f(wav, rng=jax.random.PRNGKey(7 + depth * r + i))
+                        for i in range(depth)]
+                for o in outs:
+                    _sync(o)
+                best = min(best, (time.time() - t0) / (depth * SECS))
+            key = f"rtf_{name}_pipe{depth}"
+            out[key] = round(best, 5)
+            log(f"| pipelined({depth}) RTF {name}: {best:.4f}")
 
     print(json.dumps(out))
 
