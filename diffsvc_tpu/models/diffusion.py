@@ -454,6 +454,25 @@ class GaussianDiffusion:
 
         speedup = self.cfg.pndm_speedup if speedup is None else speedup
         sampler = str(self.hp.get("sampler", "plms")).lower()
+        # optional x0 static thresholding (OFF by default = reference
+        # parity): clamp the data prediction to +/- sampler_clip_x0 in the
+        # normalized spec domain and rewrite eps accordingly. Multistep
+        # solvers on an imperfect score can overshoot far outside the data
+        # range at aggressive step counts (quantified by
+        # tools/sampler_quality.py); the clamp bounds every update without
+        # touching the well-conditioned path.
+        clip_v = float(self.hp.get("sampler_clip_x0", 0) or 0)
+        if clip_v > 0:
+            base_fn, ac = denoise_fn, self.tables["alphas_cumprod"]
+
+            def denoise_fn(xv, tv):
+                eps = base_fn(xv, tv)
+                shape = (-1,) + (1,) * (xv.ndim - 1)
+                a = jnp.sqrt(ac)[tv].reshape(shape)
+                s = jnp.maximum(jnp.sqrt(1.0 - ac)[tv].reshape(shape), 1e-12)
+                x0 = (xv - s * eps) / jnp.maximum(a, 1e-12)
+                x0 = jnp.clip(x0, -clip_v, clip_v)
+                return (xv - a * x0) / s
         if speedup and speedup > 1 and sampler in ("dpmpp", "dpm++", "dpm_solver"):
             x = p_sample_dpmpp_2m_scan(self.tables, denoise_fn, x, t_start,
                                        int(speedup),

@@ -127,3 +127,50 @@ def test_dpmpp_sampler_regimes():
     assert err_lam < 0.5 * err_t, (err_lam, err_t)     # grid upgrade is real
     assert err_lam < 0.02, err_lam                     # absolute sanity
     assert err_plms < err_lam, (err_plms, err_lam)     # documented trade-off
+
+
+def test_sampler_clip_x0_knob():
+    """sampler_clip_x0 (static thresholding, off by default): inactive when
+    the data prediction stays inside the clamp (bit-identical to the
+    unclipped path) and bounds the trajectory when the score points far
+    outside the data range."""
+    from diffsvc_tpu.config import HParams
+    from diffsvc_tpu.models.diffusion import GaussianDiffusion
+
+    base = dict(
+        audio_num_mel_bins=8, hidden_size=16, residual_layers=4,
+        residual_channels=16, dilation_cycle_length=4, timesteps=20,
+        K_step=20, diff_loss_type="l2", schedule_type="linear", max_beta=0.02,
+        keep_bins=8, spec_min=[-6.0], spec_max=[1.5], no_fs2=True,
+        use_pitch_embed=True, use_energy_embed=False, use_uv=False,
+        pitch_norm="log", f0_bin=256, f0_min=50.0, f0_max=1100.0,
+        pndm_speedup=5)
+    batch = {
+        "hubert": jnp.ones((1, 4, 16)) * 0.1,
+        "mel2ph": jnp.ones((1, 8), jnp.int32),
+        "f0": jnp.full((1, 8), 7.78),
+        "uv": jnp.zeros((1, 8)),
+        "energy": jnp.zeros((1, 8)),
+        "mels": jnp.zeros((1, 8, 8)),
+    }
+    model = GaussianDiffusion(HParams(**base))
+    params = model.init_params(jax.random.PRNGKey(0))
+    ref = np.asarray(model.infer(params, batch,
+                                 jax.random.PRNGKey(1))["mel_out"])
+
+    # huge clamp -> numerically identical to the unclipped path
+    m_loose = GaussianDiffusion(HParams(**base, sampler_clip_x0=100.0))
+    loose = np.asarray(m_loose.infer(params, batch,
+                                     jax.random.PRNGKey(1))["mel_out"])
+    np.testing.assert_allclose(loose, ref, atol=1e-5)
+
+    # tight clamp -> denormed output bounded near denorm(+/-clip). The
+    # bound is not exact: PLMS's final x is the penultimate update (the
+    # t=0 transfer is a no-op since a_prev == a_t there), i.e. a sample at
+    # small t rather than a clamped x0 — allow ~5% of the denorm range.
+    m_tight = GaussianDiffusion(HParams(**base, sampler_clip_x0=1.0))
+    tight = np.asarray(m_tight.infer(params, batch,
+                                     jax.random.PRNGKey(1))["mel_out"])
+    margin = 0.05 * 7.5   # spec range [-6, 1.5]
+    assert tight.min() >= -6.0 - margin and tight.max() <= 1.5 + margin, (
+        tight.min(), tight.max())

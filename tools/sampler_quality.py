@@ -142,10 +142,11 @@ def main():
 
     from diffsvc_tpu.models.diffusion import GaussianDiffusion
 
-    def run(sampler, speedup, grid="lambda"):
+    def run(sampler, speedup, grid="lambda", clip=0.0):
         hp2 = hp.copy()
         hp2["sampler"] = sampler
         hp2["dpmpp_grid"] = grid
+        hp2["sampler_clip_x0"] = clip
         model = GaussianDiffusion(hp2)
         out = model.infer(params, jb, jax.random.PRNGKey(3),
                           speedup=speedup, init_noise=x_T)
@@ -159,14 +160,16 @@ def main():
     cross = float((np.abs(ref_plms - ref) * mask).sum() / mask.sum() / nmel)
     log(f"| cross-reference |plms_fine - dpmpp_fine| = {cross:.5f}/bin")
 
-    configs = [("plms", 20, "lambda"), ("plms", 50, "lambda"),
-               ("dpmpp", 20, "lambda"), ("dpmpp", 50, "lambda"),
-               ("dpmpp", 50, "t")]
+    configs = [("plms", 20, "lambda", 0.0), ("plms", 50, "lambda", 0.0),
+               ("plms", 20, "lambda", 1.0),
+               ("dpmpp", 20, "lambda", 0.0), ("dpmpp", 50, "lambda", 0.0),
+               ("dpmpp", 50, "t", 0.0)]
     results = {}
-    for sampler, acc, grid in configs:
-        mel = run(sampler, acc, grid)
+    for sampler, acc, grid, clip in configs:
+        mel = run(sampler, acc, grid, clip)
         nfe = -(-1000 // acc) + (1 if sampler == "dpmpp" else 0)
-        name = f"{sampler}{acc}" + ("_tgrid" if grid == "t" else "")
+        name = (f"{sampler}{acc}" + ("_tgrid" if grid == "t" else "")
+                + ("_clip" if clip else ""))
         results[name] = {
             "nfe": int(nfe),
             "solver_err_l1": round(float(
