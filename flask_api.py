@@ -116,6 +116,29 @@ def make_flask_app(model, accelerate):  # pragma: no cover - optional dep
     return app
 
 
+def warmup_fused(model, acc: int, max_seconds: float) -> int:
+    """Pre-compile every fused length bucket up to ``max_seconds`` BEFORE
+    serving, so the first live DAW buffer never eats the 20-70 s
+    first-compile (doc/performance.md realtime table: cold start dominates
+    the first request per bucket; the on-disk compile cache makes this a
+    fast no-op on later launches). Returns the number of buckets warmed."""
+    import time
+
+    sr = model.hp["audio_sample_rate"]
+    model.hp.setdefault("fused_bucket_samples", model.hp["hop_size"] * 256)
+    model.hp.setdefault("fused_output_int16", True)
+    bucket = int(model.hp["fused_bucket_samples"])
+    n_buckets = max(int(np.ceil(max_seconds * sr / bucket)), 1)
+    for i in range(1, n_buckets + 1):
+        t0 = time.time()
+        silent = np.zeros(i * bucket, np.float32)
+        out, _, _ = model.infer_fused(silent, key=0, acc=acc)
+        np.asarray(out[-4:])  # block: a host read cannot return early
+        print(f"| warmed bucket {i}/{n_buckets} ({i * bucket / sr:.2f}s "
+              f"buffer) in {time.time() - t0:.1f}s")
+    return n_buckets
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--project", required=True)
@@ -125,11 +148,17 @@ if __name__ == "__main__":
     ap.add_argument("--port", type=int, default=6842)
     ap.add_argument("--fused", action="store_true",
                     help="serve via the fused single-dispatch graph")
+    ap.add_argument("--warmup", type=float, default=0.0, metavar="SECONDS",
+                    help="with --fused: pre-compile all length buckets up "
+                         "to this buffer duration before accepting requests")
     args = ap.parse_args()
 
     model_path = args.model or f"./checkpoints/{args.project}/"
     config_path = args.config or f"./checkpoints/{args.project}/config.yaml"
     model = Svc(args.project, config_path, True, model_path)
+
+    if args.warmup > 0 and args.fused:
+        warmup_fused(model, args.acc, args.warmup)
 
     server = HTTPServer(("0.0.0.0", args.port),
                         make_handler(model, args.acc, fused=args.fused))

@@ -59,3 +59,25 @@ def test_voice_change_endpoint():
         assert model.last_key == 2.0
     finally:
         server.shutdown()
+
+
+def test_warmup_fused_compiles_every_bucket():
+    """--warmup pre-compiles each fused length bucket (ceil(max_s*sr /
+    bucket) silent buffers, each padded UP to its own bucket) before the
+    server accepts requests."""
+    from flask_api import warmup_fused
+
+    calls = []
+
+    class FakeFused:
+        hp = {"audio_sample_rate": 8000, "hop_size": 64,
+              "fused_bucket_samples": 4000}
+
+        def infer_fused(self, wav, key, acc):
+            calls.append(len(wav))
+            return np.zeros(len(wav), np.int16), np.zeros(10), np.zeros(10)
+
+    n = warmup_fused(FakeFused(), acc=50, max_seconds=1.2)
+    # 1.2 s * 8000 = 9600 samples over 4000-sample buckets -> 3 buckets
+    assert n == 3
+    assert calls == [4000, 8000, 12000]
