@@ -110,3 +110,22 @@ def test_nsw_huge_number_with_decimal_degrades_gracefully():
     assert "点五" in out and "二三四五六七八九" in out
     neg = NSWNormalizer("-99999999999999999").normalize()
     assert neg.startswith("负")
+
+
+def test_nsw_never_crashes_on_random_numeric_text():
+    """Property: normalize() must return a str for ANY numeric-ish text —
+    a TTS frontend crash takes the whole pipeline down. Sweeps digit runs
+    of every length 1..40 in each rule context (bare, money, percent,
+    fraction, date-ish, signed, decimal)."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    for n in range(1, 41):
+        digits = "".join(rng.choice(list("0123456789")) for _ in range(n))
+        for tpl in ("{}", "{}元", "{}%", "3/{}", "{}/7", "-{}", "{}.25",
+                    "-{}.5元", "共{}个", "{}年5月1日"):
+            text = tpl.format(digits)
+            out = NSWNormalizer(text).normalize()
+            assert isinstance(out, str) and out, (text, out)
+            assert not any(c.isdigit() for c in out) or "年" in text, (
+                text, out)
