@@ -161,7 +161,7 @@ def main():
     log(f"| cross-reference |plms_fine - dpmpp_fine| = {cross:.5f}/bin")
 
     configs = [("plms", 20, "lambda", 0.0), ("plms", 50, "lambda", 0.0),
-               ("plms", 20, "lambda", 1.0),
+               ("plms", 20, "lambda", 1.0), ("dpmpp", 50, "lambda", 1.0),
                ("dpmpp", 20, "lambda", 0.0), ("dpmpp", 50, "lambda", 0.0),
                ("dpmpp", 50, "t", 0.0)]
     results = {}
