@@ -463,13 +463,14 @@ class GaussianDiffusion:
         # touching the well-conditioned path.
         clip_v = float(self.hp.get("sampler_clip_x0", 0) or 0)
         if clip_v > 0:
-            base_fn, ac = denoise_fn, self.tables["alphas_cumprod"]
+            base_fn, tables = denoise_fn, self.tables
 
             def denoise_fn(xv, tv):
                 eps = base_fn(xv, tv)
-                shape = (-1,) + (1,) * (xv.ndim - 1)
-                a = jnp.sqrt(ac)[tv].reshape(shape)
-                s = jnp.maximum(jnp.sqrt(1.0 - ac)[tv].reshape(shape), 1e-12)
+                a = _extract(tables["sqrt_alphas_cumprod"], tv, xv.ndim)
+                s = jnp.maximum(_extract(
+                    tables["sqrt_one_minus_alphas_cumprod"], tv, xv.ndim),
+                    1e-12)
                 x0 = (xv - s * eps) / jnp.maximum(a, 1e-12)
                 x0 = jnp.clip(x0, -clip_v, clip_v)
                 return (xv - a * x0) / s

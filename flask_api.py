@@ -128,7 +128,12 @@ def warmup_fused(model, acc: int, max_seconds: float) -> int:
     model.hp.setdefault("fused_bucket_samples", model.hp["hop_size"] * 256)
     model.hp.setdefault("fused_output_int16", True)
     bucket = int(model.hp["fused_bucket_samples"])
-    n_buckets = max(int(np.ceil(max_seconds * sr / bucket)), 1)
+    if bucket <= 0:
+        # bucketing explicitly disabled (fused_bucket_samples: 0 is legal —
+        # FusedSvc compiles per exact length): warm one max-length buffer
+        bucket, n_buckets = int(max_seconds * sr), 1
+    else:
+        n_buckets = max(int(np.ceil(max_seconds * sr / bucket)), 1)
     for i in range(1, n_buckets + 1):
         t0 = time.time()
         silent = np.zeros(i * bucket, np.float32)
@@ -157,8 +162,13 @@ if __name__ == "__main__":
     config_path = args.config or f"./checkpoints/{args.project}/config.yaml"
     model = Svc(args.project, config_path, True, model_path)
 
-    if args.warmup > 0 and args.fused:
-        warmup_fused(model, args.acc, args.warmup)
+    if args.warmup > 0:
+        if args.fused:
+            warmup_fused(model, args.acc, args.warmup)
+        else:
+            print("| WARNING: --warmup only applies to --fused serving; "
+                  "ignored (the modular path compiles per stage on first "
+                  "request)")
 
     server = HTTPServer(("0.0.0.0", args.port),
                         make_handler(model, args.acc, fused=args.fused))

@@ -176,7 +176,10 @@ if __name__ == "__main__":
     ap.add_argument("--files", nargs="+", required=True,
                     help="wav files under ./raw or absolute paths")
     ap.add_argument("--key", type=int, nargs="+", default=[0])
-    ap.add_argument("--acc", type=int, default=20)
+    # default None = the config's pndm_speedup (so serving profiles like
+    # configs/config_44k_fast.yaml actually take effect); the reference's
+    # hardcoded default was 20
+    ap.add_argument("--acc", type=int, default=None)
     ap.add_argument("--slice_db", type=float, default=-40)
     ap.add_argument("--no_pe", action="store_true")
     ap.add_argument("--no_crepe", action="store_true")
@@ -201,9 +204,11 @@ if __name__ == "__main__":
     fill_a_to_b(trans, args.files)
 
     model = Svc(args.project, config_path, True, model_path)
+    acc = args.acc if args.acc is not None else int(
+        model.hp.get("pndm_speedup", 20) or 20)
     for f_name, tran in zip(args.files, trans):
         file_path = f_name if os.path.isabs(f_name) or os.path.exists(f_name) else None
-        run_clip(model, key=tran, acc=args.acc, use_pe=not args.no_pe,
+        run_clip(model, key=tran, acc=acc, use_pe=not args.no_pe,
                  use_crepe=not args.no_crepe, thre=args.thre,
                  use_gt_mel=args.use_gt_mel, add_noise_step=args.add_noise_step,
                  f_name=os.path.basename(f_name), file_path=file_path,

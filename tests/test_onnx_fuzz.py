@@ -48,7 +48,9 @@ def _random_program(rng: np.random.RandomState):
             elif c == 7:
                 h = jnp.pad(h, ((0, 0), (1, 2), (0, 0)))[:, : h.shape[1]]
             elif c == 8:
-                h = jnp.concatenate([h[:, :shift_t], h[:, shift_t:]], axis=1)
+                # a real rotation (not an identity reassembly), so concat
+                # operand ordering and slice offsets are discriminating
+                h = jnp.concatenate([h[:, shift_t:], h[:, :shift_t]], axis=1)
             elif c == 9:
                 h = h - h.mean(axis=axis, keepdims=True)
             elif c == 10:

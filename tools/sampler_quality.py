@@ -165,9 +165,12 @@ def main():
                ("dpmpp", 20, "lambda", 0.0), ("dpmpp", 50, "lambda", 0.0),
                ("dpmpp", 50, "t", 0.0)]
     results = {}
+    k_step = int(hp.get("K_step", hp.get("timesteps", 1000)))
     for sampler, acc, grid, clip in configs:
         mel = run(sampler, acc, grid, clip)
-        nfe = -(-1000 // acc) + (1 if sampler == "dpmpp" else 0)
+        # NFE = scan steps + 1: plms's order-1 bootstrap step calls the
+        # denoiser twice; dpmpp does a final data-prediction eval at t=0
+        nfe = -(-k_step // acc) + 1
         name = (f"{sampler}{acc}" + ("_tgrid" if grid == "t" else "")
                 + ("_clip" if clip else ""))
         results[name] = {
