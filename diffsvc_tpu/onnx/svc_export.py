@@ -223,8 +223,9 @@ def export_vocoder_onnx(cfg, params, out_dir: str, project_name: str,
         f.write(export_onnx(
             voc_fn, args, input_names=input_names, output_names=["waveform"],
             dynamic_axes=dynamic_axes, graph_name="hifigan",
-            doc=f"(NSF-)HiFi-GAN generator ({project_name}); parity: "
-                "reference modules/nsf_hifigan/models.py:325-396"))
+            doc=f"(NSF-)HiFi-GAN generator ({project_name}); total_up="
+                f"{total_up} ; parity: reference "
+                "modules/nsf_hifigan/models.py:325-396"))
     return path
 
 

@@ -410,3 +410,89 @@ def test_runtime_cumsum_reverse_and_exclusive():
         ev.op_CumSum([d, ax], {"reverse": 1, "exclusive": 1}),
         [5.0, 3.0, 0.0])
     np.testing.assert_allclose(ev.op_CumSum([d, ax], {}), [1.0, 3.0, 6.0])
+
+
+def test_run_onnx_chain_tool_matches_model_infer(svc_artifacts):
+    """tools/run_onnx_chain.py (the standalone community-consumer CLI) must
+    reproduce model.infer's PLMS output bit-comparably from the same x_T,
+    using nothing but the .onnx artifacts and the numpy runtime."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.run_onnx_chain import run_chain
+
+    hp, model, params, paths = svc_artifacts
+    art_dir = os.path.dirname(paths["encoder"])
+
+    rng = np.random.RandomState(11)
+    T_ph, T, M = 7, 12, hp["audio_num_mel_bins"]
+    feats = {
+        "hubert": rng.randn(1, T_ph, hp["hidden_size"]).astype(np.float32),
+        "mel2ph": rng.randint(1, T_ph + 1, (1, T)).astype(np.int64),
+        "f0": (rng.rand(1, T) * 2 + 6).astype(np.float32),
+        "noise": rng.randn(1, 1, M, T).astype(np.float32),
+    }
+    mel, f0_pred, wav = run_chain(art_dir, "proj", feats,
+                                  k_step=hp["K_step"],
+                                  acc=hp["pndm_speedup"])
+    assert wav is None  # no vocoder artifact exported in this fixture
+
+    batch = {
+        "hubert": jnp.asarray(feats["hubert"]),
+        "mel2ph": jnp.asarray(feats["mel2ph"], jnp.int32),
+        "f0": jnp.asarray(feats["f0"]),
+    }
+    out = model.infer(params, batch, jax.random.PRNGKey(0),
+                      init_noise=jnp.asarray(
+                          feats["noise"][:, 0].transpose(0, 2, 1)))
+    # _after emits natural-log mel [1, M, T]; infer's mel_out is log10
+    want = np.asarray(out["mel_out"]).transpose(0, 2, 1) * np.log(10.0)
+    np.testing.assert_allclose(mel, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f0_pred),
+                               np.asarray(out["f0_denorm"]), rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_run_onnx_chain_with_vocoder(svc_artifacts, tmp_path):
+    """run_chain's vocoder leg: with {proj}_hifigan.onnx present it parses
+    total_up from the artifact doc_string, sizes the NSF randomness
+    inputs, and returns a waveform of exactly T * total_up samples."""
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.run_onnx_chain import run_chain
+    from diffsvc_tpu.onnx.svc_export import export_vocoder_onnx
+    from diffsvc_tpu.vocoders import generator as G
+
+    hp, model, params, paths = svc_artifacts
+    # copy the four chain artifacts next to a tiny NSF vocoder artifact
+    for p in paths.values():
+        shutil.copy(p, tmp_path)
+    cfg = G.HifiGanConfig.from_dict(
+        {"resblock": "1", "upsample_rates": [4, 2],
+         "upsample_kernel_sizes": [8, 4], "upsample_initial_channel": 16,
+         "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
+         "num_mels": hp["audio_num_mel_bins"], "sampling_rate": 8000},
+        use_nsf=True)
+    export_vocoder_onnx(cfg, G.init(jax.random.PRNGKey(3), cfg),
+                        str(tmp_path), "proj", t_mel=10)
+
+    rng = np.random.RandomState(12)
+    T_ph, T, M = 6, 11, hp["audio_num_mel_bins"]
+    feats = {
+        "hubert": rng.randn(1, T_ph, hp["hidden_size"]).astype(np.float32),
+        "mel2ph": rng.randint(1, T_ph + 1, (1, T)).astype(np.int64),
+        "f0": (rng.rand(1, T) * 2 + 6).astype(np.float32),
+        "noise": rng.randn(1, 1, M, T).astype(np.float32),
+    }
+    mel, f0_pred, wav = run_chain(str(tmp_path), "proj", feats,
+                                  k_step=hp["K_step"],
+                                  acc=hp["pndm_speedup"])
+    assert wav is not None
+    assert np.asarray(wav).reshape(-1).shape[0] == T * 8  # total_up = 4*2
+    assert np.isfinite(np.asarray(wav)).all()
