@@ -107,3 +107,29 @@ def test_train_vocoder_cli_driver(tmp_path):
 
     train_vocoder(hp)
     assert ckpt_lib.latest_checkpoint(hp["work_dir"])
+
+
+def test_istft_family_trains_in_nsf_mel_geometry():
+    """Review fix: with vocoder=istftvocoder the GAN mel-L1 must use the
+    NSF nvSTFT mel (S frames for an S-frame segment, the geometry
+    IstftVocoder.wav2spec serves with), not the PWG mel (S+1 frames)."""
+    import jax
+    import numpy as np
+
+    from diffsvc_tpu.config import HParams
+    from diffsvc_tpu.ops import mel as mel_ops
+    from diffsvc_tpu.training.vocoder_task import VocoderTask
+
+    hp = HParams(audio_sample_rate=8000, audio_num_mel_bins=16,
+                 fft_size=256, hop_size=64, win_size=256, fmin=40,
+                 fmax=3500, vocoder="istftvocoder", use_nsf=True,
+                 istft_dim=32, istft_layers=1)
+    task = VocoderTask(hp)
+    S = 8
+    wav = np.random.RandomState(0).randn(2, S * 64).astype(np.float32)
+    got = np.asarray(task._mel_for_loss(wav))
+    assert got.shape == (2, S, 16)          # S frames, not S+1
+    want = np.asarray(jax.vmap(lambda w: mel_ops.wav2mel_nsf(
+        w, sr=8000, n_fft=256, hop=64, win_length=256, n_mels=16,
+        fmin=40.0, fmax=3500.0))(wav))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
