@@ -107,7 +107,8 @@ class FusedSvc:
         self._fns = {}
 
     # ------------------------------------------------------------------
-    def _build(self, n44: int, model=None, use_voc_tail: bool = True):
+    def _build(self, n44: int, model=None, use_voc_tail: bool = True,
+               use_gt_mel: bool = False, add_noise_step: int = 500):
         from ..ops.resample import resample_length, resample_poly_device
 
         n16 = resample_length(n44, self.hp["audio_sample_rate"], 16000)
@@ -220,7 +221,14 @@ class FusedSvc:
                 batch["spk_embed"] = spk[None]
 
             # --- diffusion ---
-            out = model.infer(diff_params, batch, rng, speedup=speedup)
+            # use_gt_mel = the reference's shallow-diffusion mode (infer.py
+            # run_clip kwargs -> diffusion.py:270-276): start from the
+            # INPUT's mel q_sampled to add_noise_step-1 instead of pure
+            # noise, keeping the source timbre envelope.  Static per graph:
+            # the ladder length changes with t_start.
+            out = model.infer(diff_params, batch, rng, speedup=speedup,
+                              use_gt_mel=use_gt_mel,
+                              add_noise_step=add_noise_step)
             mel_pred = out["mel_out"][:, :t_mel, :]
             mel_pred = jnp.clip(mel_pred, hp.get("mel_vmin", -6.0),
                                 hp.get("mel_vmax", 1.5))
@@ -284,10 +292,13 @@ class FusedSvc:
             return voc.run_params
         return voc.params
 
-    def _get_fn(self, n44: int):
-        if n44 not in self._fns:
-            self._fns[n44] = jax.jit(self._build(n44))
-        return self._fns[n44]
+    def _get_fn(self, n44: int, use_gt_mel: bool = False,
+                add_noise_step: int = 500):
+        key = n44 if not use_gt_mel else ("gt_mel", n44, add_noise_step)
+        if key not in self._fns:
+            self._fns[key] = jax.jit(self._build(
+                n44, use_gt_mel=use_gt_mel, add_noise_step=add_noise_step))
+        return self._fns[key]
 
     def _get_batched_fn(self, n44: int):
         """vmap of the whole fused graph over chunks: one dispatch converts
@@ -307,7 +318,8 @@ class FusedSvc:
         return self._fns[key]
 
     def __call__(self, wav44: np.ndarray, rng=None, key_shift: int = 0,
-                 spk_id: int = 0):
+                 spk_id: int = 0, use_gt_mel: bool = False,
+                 add_noise_step: int = 500):
         hp = self.hp
         bucket = int(hp.get("fused_bucket_samples", 0))
         true_n44 = len(wav44)
@@ -316,7 +328,8 @@ class FusedSvc:
             n44 = -(-n44 // bucket) * bucket
             wav44 = np.pad(wav44, (0, n44 - len(wav44)))
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        wav_o, f0_o, mel_o = self._get_fn(n44)(
+        wav_o, f0_o, mel_o = self._get_fn(
+            n44, use_gt_mel=use_gt_mel, add_noise_step=add_noise_step)(
             self.params, self.hub_params, self._voc_run_params(),
             jnp.asarray(wav44, jnp.float32), rng,
             jnp.float32(key_shift), jnp.int32(spk_id))

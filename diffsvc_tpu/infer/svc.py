@@ -119,11 +119,14 @@ class Svc:
         self._fused = None
 
     def infer_fused(self, wav: "np.ndarray", key: int = 0, acc: int = 20,
-                    seed: int = 0, compute_dtype=None):
+                    seed: int = 0, compute_dtype=None,
+                    use_gt_mel: bool = False, add_noise_step: int = 500):
         """Serving fast path: the whole pipeline (mel, AC-f0, hubert, cond,
         diffusion, vocoder) as ONE XLA program per length bucket
         (diffsvc_tpu/infer/fused.py). Key shift is applied on the device f0
-        in Hz (2**(key/12) scale with ceiling zeroing, matching infer())."""
+        in Hz (2**(key/12) scale with ceiling zeroing, matching infer()).
+        ``use_gt_mel``/``add_noise_step`` select the reference's
+        shallow-diffusion mode, same semantics as infer()."""
         if self._fused is None or getattr(self._fused, "speedup", None) != int(acc):
             from .fused import FusedSvc
 
@@ -134,7 +137,9 @@ class Svc:
                                    compute_dtype=compute_dtype)
         return self._fused(np.asarray(wav, np.float32),
                            jax.random.PRNGKey(seed), key_shift=int(key),
-                           spk_id=self.resolve_spk_id(None))
+                           spk_id=self.resolve_spk_id(None),
+                           use_gt_mel=use_gt_mel,
+                           add_noise_step=int(add_noise_step))
 
     def infer_fused_batched(self, wavs, key: int = 0, acc: int = 20,
                             seed: int = 0, compute_dtype=None):

@@ -60,9 +60,19 @@ def crossfade_concat(pieces):
 def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
              add_noise_step, project_name="", f_name=None, file_path=None,
              out_path=None, slice_db=-40, audio_format="wav", step=0,
-             crossfade_ms: float = 0.0, batch_chunks: bool = False):
+             crossfade_ms: float = 0.0, batch_chunks: bool = False,
+             fused: bool = False):
     hp = svc_model.hp
     use_pe = use_pe if hp["audio_sample_rate"] == 24000 else False
+    if fused:
+        # production serving path: whole pipeline as ONE device program per
+        # length bucket (diffsvc_tpu/infer/fused.py).  The fused graph's f0
+        # is the in-graph AC tracker (no crepe/pe, like the flask path).
+        svc_model.hp.setdefault("fused_bucket_samples",
+                                int(hp["hop_size"]) * 256)
+        if use_pe or batch_chunks:
+            print("| WARNING: --fused ignores use_pe/--batch_chunks")
+            use_pe, batch_chunks = False, False
     raw_audio_path = f"./raw/{f_name}" if file_path is None else file_path
     clean_name = Path(raw_audio_path).stem
     wav_path = format_wav(raw_audio_path)
@@ -131,6 +141,24 @@ def run_clip(svc_model, key, acc, use_pe, use_crepe, thre, use_gt_mel,
                                          np.zeros(length))
         elif batched_results is not None:
             _f0_tst, _f0_pred, _audio = batched_results[chunk_i]
+        elif fused:
+            from diffsvc_tpu.infer.fused import FusedSvc
+
+            tgt_sr = int(hp["audio_sample_rate"])
+            w = data.astype(np.float32)
+            if int(audio_sr) != tgt_sr:
+                from math import gcd
+
+                from scipy.signal import resample_poly
+
+                g = gcd(tgt_sr, int(audio_sr))
+                w = resample_poly(w, tgt_sr // g,
+                                  int(audio_sr) // g).astype(np.float32)
+            wav_o, f0_o, _ = svc_model.infer_fused(
+                w, key=key, acc=acc, use_gt_mel=use_gt_mel,
+                add_noise_step=add_noise_step)
+            _audio = FusedSvc.to_float(wav_o)
+            _f0_tst = _f0_pred = np.asarray(f0_o)
         else:
             _f0_tst, _f0_pred, _audio = svc_model.infer(
                 buf, key=key, acc=acc, use_pe=use_pe, use_crepe=use_crepe,
@@ -191,6 +219,9 @@ if __name__ == "__main__":
                     help="blend chunk seams with linear crossfades")
     ap.add_argument("--batch_chunks", action="store_true",
                     help="run same-length chunks as batched device calls")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the fused single-dispatch serving graph "
+                         "(production path; in-graph AC f0, no crepe/pe)")
     args = ap.parse_args()
 
     model_path = args.model or f"./checkpoints/{args.project}/"
@@ -214,4 +245,5 @@ if __name__ == "__main__":
                  f_name=os.path.basename(f_name), file_path=file_path,
                  project_name=args.project, slice_db=args.slice_db,
                  audio_format=args.format, step=step,
-                 crossfade_ms=args.crossfade_ms, batch_chunks=args.batch_chunks)
+                 crossfade_ms=args.crossfade_ms, batch_chunks=args.batch_chunks,
+                 fused=args.fused)

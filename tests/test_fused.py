@@ -290,3 +290,35 @@ def test_fused_dpmpp_sampler(fused_model):
     v = np.asarray(f0)
     assert abs(np.median(v[v > 0]) - 220.0) < 5
     assert not np.array_equal(np.asarray(got_m), np.asarray(plms_m))
+
+
+def test_fused_gt_mel_shallow_diffusion(fused_model):
+    """use_gt_mel (the reference's shallow-diffusion flags, infer.py
+    run_clip -> diffusion.py:270-276) through the FUSED graph: at a tiny
+    add_noise_step the trajectory starts from the input's own (barely
+    noised) mel, so the output mel must hug the input mel where the
+    standard full-noise run (random weights) lands far away."""
+    from diffsvc_tpu.ops import mel as mel_ops
+
+    hp = fused_model.hp
+    t = np.arange(8000) / 8000
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    _, _, mel_std = fused_model(wav, rng=jax.random.PRNGKey(3))
+    _, f0_gt, mel_gt = fused_model(wav, rng=jax.random.PRNGKey(3),
+                                   use_gt_mel=True, add_noise_step=1)
+    mel_in = np.asarray(mel_ops.wav2mel_pwg(
+        jnp.asarray(wav), sr=hp["audio_sample_rate"], n_fft=hp["fft_size"],
+        hop=hp["hop_size"], win_length=hp["win_size"],
+        n_mels=hp["audio_num_mel_bins"], fmin=float(hp["fmin"]),
+        fmax=float(hp["fmax"]), eps=float(hp["wav2spec_eps"])))
+    mel_in = np.clip(mel_in[: np.asarray(mel_gt).shape[0]],
+                     hp["mel_vmin"], hp["mel_vmax"])
+    err_gt = np.abs(np.asarray(mel_gt) - mel_in).mean()
+    err_std = np.abs(np.asarray(mel_std) - mel_in).mean()
+    assert np.isfinite(np.asarray(mel_gt)).all()
+    assert err_gt < 0.5, err_gt
+    assert err_std > 2 * err_gt, (err_std, err_gt)
+    v = np.asarray(f0_gt)
+    assert abs(np.median(v[v > 0]) - 220.0) < 5
+    # distinct ladder lengths => distinct compiled graphs, bounded cache
+    assert ("gt_mel", len(wav), 1) in fused_model._fns
