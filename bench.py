@@ -302,15 +302,16 @@ def main():
     fused_mix = variants["bf16_packed_voc"]
     fused_prod = variants["int16_out"]
 
-    # steady-state serving throughput: 4 dispatches in flight, sync once —
+    # steady-state serving throughput: 8 dispatches in flight, sync once —
     # amortizes the per-call host->device round trip (the tunnel on this
-    # bench host), i.e. the RTF a pipelined server actually sustains
+    # bench host), i.e. the RTF a pipelined server actually sustains.
+    # Depth 8 beats 4 (tools/bench_dpmpp.py sweep: 0.0073 vs 0.0078 prod).
     t0 = time.time()
-    outs = [fused_prod(wav, rng=jax.random.PRNGKey(10 + i)) for i in range(4)]
+    outs = [fused_prod(wav, rng=jax.random.PRNGKey(10 + i)) for i in range(8)]
     for o in outs:
         _sync(o)
-    rtf_tp = (time.time() - t0) / (4 * SECS)
-    log(f"| pipelined serving RTF (4 in flight, production config): {rtf_tp:.4f}")
+    rtf_tp = (time.time() - t0) / (8 * SECS)
+    log(f"| pipelined serving RTF (8 in flight, production config): {rtf_tp:.4f}")
 
     # batched serving: N chunks in ONE vmapped dispatch — at batch 1 the
     # chip is overhead/latency bound (MFU ~3%), so batching slicer chunks
