@@ -306,11 +306,18 @@ def main():
     # amortizes the per-call host->device round trip (the tunnel on this
     # bench host), i.e. the RTF a pipelined server actually sustains.
     # Depth 8 beats 4 (tools/bench_dpmpp.py sweep: 0.0073 vs 0.0078 prod).
-    t0 = time.time()
-    outs = [fused_prod(wav, rng=jax.random.PRNGKey(10 + i)) for i in range(8)]
-    for o in outs:
-        _sync(o)
-    rtf_tp = (time.time() - t0) / (8 * SECS)
+    # Min over 3 bursts: a single burst is one ~2 s tunnel window, and
+    # tunnel load drifts 1.5-2x between windows — the same reason the
+    # single-stream variants take min-of-8 runs.
+    tp = []
+    for r in range(3):
+        t0 = time.time()
+        outs = [fused_prod(wav, rng=jax.random.PRNGKey(10 + 8 * r + i))
+                for i in range(8)]
+        for o in outs:
+            _sync(o)
+        tp.append((time.time() - t0) / (8 * SECS))
+    rtf_tp = min(tp)
     log(f"| pipelined serving RTF (8 in flight, production config): {rtf_tp:.4f}")
 
     # batched serving: N chunks in ONE vmapped dispatch — at batch 1 the
