@@ -37,6 +37,10 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--n-clips", type=int, default=16,
+                    help="dataset size; small counts + many steps give an "
+                         "overfit score whose probability-flow ODE leaves "
+                         "the manifold (see runs/sampler_quality r4 notes)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny dims on CPU (smoke/regression)")
     ap.add_argument("--out", default=os.path.join(REPO, "runs/sampler_quality"))
@@ -71,7 +75,7 @@ def main():
         dur = 2.0
 
     log("| building dataset ...")
-    make_dataset(f"{scratch}/raw", sr=sr, dur=dur)
+    make_dataset(f"{scratch}/raw", sr=sr, dur=dur, n_clips=args.n_clips)
 
     hp_dict = dict(
         audio_sample_rate=sr, audio_num_mel_bins=nmel, fft_size=nfft,
