@@ -11,6 +11,7 @@ value is the end-to-end RTF and vs_baseline = target_rtf / measured_rtf
 """
 
 import json
+import os
 import sys
 import time
 
@@ -21,8 +22,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def make_rtt_probe():
+    """No-op dispatch round-trip timer: one tiny jitted op + a 4-float
+    fetch — the minimum host->device->host round trip.  On the tunneled
+    bench host this is ~30 ms and drifts 1.5-2x with tunnel load
+    (BASELINE.md r2 protocol); measuring it IN-RUN is what makes the
+    published RTFs interpretable without knowing the tunnel weather
+    (VERDICT r3 weak #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((4,), jnp.float32)
+    np.asarray(tiny(x))  # compile outside timing
+
+    def probe():
+        t0 = time.time()
+        np.asarray(tiny(x))
+        return time.time() - t0
+
+    return probe
+
+
 def main():
     import jax
+
+    if os.environ.get("BENCH_SMOKE"):
+        # JAX_PLATFORMS env alone is ignored with the axon plugin present;
+        # the config call must come before any jax use
+        jax.config.update("jax_platforms", "cpu")
 
     from diffsvc_tpu.utils.compile_cache import enable as _enable_compile_cache
 
@@ -42,15 +70,30 @@ def main():
     dev = jax.devices()[0]
     log(f"| device: {dev}")
 
+    # load calibration: no-op dispatch RTT, measured before/throughout the
+    # run so every published RTF comes with the tunnel load that produced it
+    rtt_probe = make_rtt_probe()
+    rtt_initial = sorted(rtt_probe() for _ in range(5))[2]
+    log(f"| tunnel no-op dispatch RTT (median of 5): {rtt_initial*1e3:.1f} ms")
+
     SR = 44100
     SECS = 10.0
     HOP, NFFT, NMEL = 512, 2048, 128
     SPEEDUP = 20
+    RES_CH, RES_L, VOC_CH = 384, 20, 512
+    # BENCH_SMOKE=1: tiny dims + short audio so the FULL protocol (probes,
+    # round-robin, retries, device-est math, JSON) runs on CPU in ~a minute
+    # — a correctness check for bench.py itself, never a perf number
+    smoke = bool(os.environ.get("BENCH_SMOKE"))
+    if smoke:
+        SECS = 2.0
+        RES_CH, RES_L, VOC_CH = 32, 4, 64
+        log("| BENCH_SMOKE: tiny dims, protocol-validation only")
 
     hp = HParams(
         audio_sample_rate=SR, audio_num_mel_bins=NMEL, fft_size=NFFT,
         hop_size=HOP, win_size=NFFT, fmin=40, fmax=16000,
-        hidden_size=256, residual_layers=20, residual_channels=384,
+        hidden_size=256, residual_layers=RES_L, residual_channels=RES_CH,
         dilation_cycle_length=4, timesteps=1000, K_step=1000,
         diff_loss_type="l2", schedule_type="linear", max_beta=0.02,
         keep_bins=NMEL, spec_min=[-5.0], spec_max=[0.0], no_fs2=True,
@@ -72,7 +115,7 @@ def main():
     hub_cfg = hubert_model.HubertConfig()
     hub_params = hubert_model.init(jax.random.PRNGKey(1), hub_cfg)
     voc_cfg = gen.HifiGanConfig(
-        num_mels=NMEL, upsample_initial_channel=512,
+        num_mels=NMEL, upsample_initial_channel=VOC_CH,
         upsample_rates=(8, 8, 2, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4, 4),
         resblock="1", resblock_kernel_sizes=(3, 7, 11),
         resblock_dilation_sizes=((1, 3, 5),) * 3, sampling_rate=SR,
@@ -147,11 +190,14 @@ def main():
 
     runs = []
     for i in range(3):
+        rtt_i = rtt_probe()
         s = pipeline()
-        total = sum(v for k, v in s.items() if k != "T")
+        s["_rtt"] = rtt_i
+        total = sum(v for k, v in s.items() if k not in ("T", "_rtt"))
         runs.append((total, s))
-        log(f"| run{i}: total={total:.3f}s "
-            + " ".join(f"{k}={v:.3f}" for k, v in s.items() if k != "T"))
+        log(f"| run{i}: total={total:.3f}s rtt={rtt_i*1e3:.0f}ms "
+            + " ".join(f"{k}={v:.3f}" for k, v in s.items()
+                       if k not in ("T", "_rtt")))
 
     best_total, best = min(runs, key=lambda x: x[0])
     rtf_modular = best_total / SECS
@@ -173,9 +219,15 @@ def main():
     kind = str(getattr(dev, "device_kind", dev)).lower()
     peak = 275e12 if "v4" in kind else 197e12
     mfu = flops / best["diffusion"] / peak
+    # device-time MFU: the sampling loop is ONE dispatch, so wall time =
+    # dispatch RTT + device compute; subtracting the same-run no-op RTT
+    # recovers the chip-side number (VERDICT r3 weak #7: the raw wall MFU
+    # is dispatch-dominated and misreads as chip utilization)
+    t_diff_dev = max(best["diffusion"] - best["_rtt"], 1e-6)
+    mfu_dev = flops / t_diff_dev / peak
     log(f"| sampling-loop FLOPs: {flops/1e12:.2f} TFLOP over {NFE} NFE, "
-        f"MFU {100*mfu:.1f}% of {peak/1e12:.0f} TFLOP/s peak "
-        f"(modular-path timing incl dispatch)")
+        f"MFU {100*mfu:.1f}% wall / {100*mfu_dev:.1f}% device-est "
+        f"of {peak/1e12:.0f} TFLOP/s peak")
     log(f"| modular end-to-end RTF: {rtf_modular:.4f}")
 
     # ---- fused single-dispatch graph (the serving path) ----
@@ -282,15 +334,45 @@ def main():
     log(f"| fused warmup {time.time() - t0:.1f}s")
 
     times = {name: [] for name in variants}
-    for i in range(8):
+    round_rtts = []
+
+    def fused_round(i):
+        round_rtts.append(rtt_probe())
         for name, f in variants.items():
             t0 = time.time()
             _sync(f(wav, rng=jax.random.PRNGKey(100 + i)))
             times[name].append(time.time() - t0)
-    rtfs = {}
+
+    for i in range(8):
+        fused_round(i)
+    # bounded retry: tunnel load drifts 1.5-2x between ~minute windows; if
+    # this run never saw a quiet window (headline spread > 1.5x), buy up to
+    # 4 more round-robin rounds so the published min tracks the code, not
+    # the weather (VERDICT r3 #1)
+    headline_name = ("int16_out" if "int16_out" in variants
+                     else "bf16_packed_voc")
+    extra = 0
+    while (max(times[headline_name]) / min(times[headline_name]) > 1.5
+           and extra < 4):
+        fused_round(100 + extra)
+        extra += 1
+        log(f"| headline spread {max(times[headline_name])/min(times[headline_name]):.2f}x"
+            f" after retry round {extra}")
+
+    rtt_med = sorted(round_rtts)[len(round_rtts) // 2]
+    log(f"| per-round no-op RTT (ms): "
+        + " ".join(f"{r*1e3:.0f}" for r in round_rtts)
+        + f"  median {rtt_med*1e3:.1f}")
+    rtfs, rtfs_dev = {}, {}
     for name in variants:
         rtfs[name] = min(times[name]) / SECS
-        log(f"| fused RTF {name}: {rtfs[name]:.4f} (runs: "
+        # device-time estimate: each fused call is one dispatch + a 4-float
+        # fetch, so wall - same-round no-op RTT ~= device compute
+        dev_times = [max(t - r, 1e-6)
+                     for t, r in zip(times[name], round_rtts)]
+        rtfs_dev[name] = min(dev_times) / SECS
+        log(f"| fused RTF {name}: {rtfs[name]:.4f} wall / "
+            f"{rtfs_dev[name]:.4f} device-est (runs: "
             + " ".join(f"{t:.3f}" for t in times[name]) + ")")
     rtf_fused = rtfs["fp32"]
     rtf_bf16 = rtfs["bf16"]
@@ -318,7 +400,8 @@ def main():
             _sync(o)
         tp.append((time.time() - t0) / (8 * SECS))
     rtf_tp = min(tp)
-    log(f"| pipelined serving RTF (8 in flight, production config): {rtf_tp:.4f}")
+    log(f"| pipelined serving RTF (8 in flight, production config): {rtf_tp:.4f}"
+        f" (per-burst: " + " ".join(f"{t:.4f}" for t in tp) + ")")
 
     # batched serving: N chunks in ONE vmapped dispatch — at batch 1 the
     # chip is overhead/latency bound (MFU ~3%), so batching slicer chunks
@@ -348,12 +431,34 @@ def main():
     # serving entrypoints default to on TPU); NaN-safe fallback chain
     rtf = rtf_i16 if rtf_i16 == rtf_i16 else (
         rtf_tail if rtf_tail == rtf_tail else rtf_mix)
-    log(f"| end-to-end RTF (production fused serving): {rtf:.4f} (target < 0.05)")
+    rtf_dev = rtfs_dev.get(headline_name, float("nan"))
+    spread = max(times[headline_name]) / min(times[headline_name])
+    # fused-graph device-time MFU: sampling-loop matmul FLOPs over the
+    # headline's RTT-subtracted time (sampling is ~all the FLOPs; vocoder/
+    # hubert add <10%, so this is a slight undercount, not an overcount)
+    mfu_fused_dev = (flops / max(rtf_dev * SECS, 1e-6) / peak
+                     if rtf_dev == rtf_dev else float("nan"))
+    log(f"| end-to-end RTF (production fused serving): {rtf:.4f} wall / "
+        f"{rtf_dev:.4f} device-est (target < 0.05); headline spread "
+        f"{spread:.2f}x, tunnel RTT median {rtt_med*1e3:.1f} ms")
     print(json.dumps({
         "metric": "e2e_rtf_44k1_10s_acc20",
         "value": round(rtf, 5),
         "unit": "rtf",
         "vs_baseline": round(0.05 / rtf, 3),
+        # load calibration (VERDICT r3 #1): every wall RTF below includes
+        # one tunnel dispatch RTT; rtf_device_est subtracts the same-round
+        # no-op RTT. If tunnel_rtt_ms is high or headline_spread_x is
+        # large, trust rtf_device_est for cross-round code comparisons.
+        "tunnel_rtt_ms": round(rtt_med * 1e3, 1),
+        "tunnel_rtt_ms_initial": round(rtt_initial * 1e3, 1),
+        "tunnel_rtt_ms_minmax": [round(min(round_rtts) * 1e3, 1),
+                                 round(max(round_rtts) * 1e3, 1)],
+        "rtf_device_est": round(rtf_dev, 5) if rtf_dev == rtf_dev else None,
+        "headline_spread_x": round(spread, 2),
+        "mfu_sampling_device_pct": round(100 * mfu_dev, 1),
+        "mfu_fused_device_pct": (round(100 * mfu_fused_dev, 1)
+                                 if mfu_fused_dev == mfu_fused_dev else None),
         "rtf_fp32": round(rtf_fused, 5),
         "rtf_bf16": round(rtf_bf16, 5),
         "rtf_bf16_packed_voc": round(rtf_mix, 5),
@@ -361,7 +466,10 @@ def main():
         "rtf_int16_out": round(rtf_i16, 5) if rtf_i16 == rtf_i16 else None,
         "rtf_istft_voc": round(rtf_istft, 5) if rtf_istft == rtf_istft else None,
         "rtf_dpmpp50": round(rtf_dpm, 5) if rtf_dpm == rtf_dpm else None,
+        "rtf_device_by_variant": {k: round(v, 5)
+                                  for k, v in sorted(rtfs_dev.items())},
         "rtf_pipelined": round(rtf_tp, 5),
+        "rtf_pipelined_bursts": [round(t, 5) for t in tp],
         "rtf_batched": round(rtf_batched, 5),
     }))
 
