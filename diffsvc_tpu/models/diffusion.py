@@ -237,6 +237,33 @@ def p_sample_plms_scan(tables, denoise_fn, x, t_start: int, interval: int):
     return x
 
 
+def dpmpp_timesteps(ac_np: np.ndarray, t_start: int, interval: int,
+                    grid: str = "lambda") -> np.ndarray:
+    """The DPM-Solver++ visiting ladder (host-side numpy): descending
+    timesteps starting at t_start-1 and ending at 0.  Shared by the scan
+    sampler below and the ONNX export (onnx/svc_export.py), so the
+    deployed artifact walks the exact grid the in-process sampler uses."""
+    # ceil like the PLMS grid so the first visited step is t_start-1 (the
+    # initial x is pure noise calibrated there) for any interval
+    n_steps = max(-(-t_start // interval), 1)
+    if grid == "lambda":
+        lam_np = 0.5 * (np.log(ac_np) - np.log(np.maximum(1.0 - ac_np, 1e-12)))
+        target = np.linspace(lam_np[t_start - 1], lam_np[0], n_steps + 1)
+        ts = np.array([int(np.abs(lam_np[:t_start] - tv).argmin())
+                       for tv in target], np.int32)
+        # lam is strictly monotonic in t so duplicates only appear when
+        # n_steps approaches t_start; drop them (shortens the scan, host-side)
+        keep = np.concatenate([[True], ts[1:] != ts[:-1]])
+        ts = ts[keep]
+        ts[-1] = 0
+    else:
+        # timesteps visited: t_start-interval*k (k=0..n_steps-1) then 0
+        ts = np.concatenate([np.arange(n_steps - 1, -1, -1) * interval
+                             + (interval - 1), [0]]).astype(np.int32)
+        ts = np.clip(ts, 0, t_start - 1)
+    return ts.astype(np.int32)
+
+
 def p_sample_dpmpp_2m_scan(tables, denoise_fn, x, t_start: int, interval: int,
                            grid: str = "lambda"):
     """DPM-Solver++(2M) for epsilon prediction — a second-order exponential
@@ -262,25 +289,8 @@ def p_sample_dpmpp_2m_scan(tables, denoise_fn, x, t_start: int, interval: int,
     timestep grid. Both grids are host-side numpy at trace time; the scan
     length (= NFE) is identical.
     """
-    # ceil like the PLMS grid so the first visited step is t_start-1 (the
-    # initial x is pure noise calibrated there) for any interval
-    n_steps = max(-(-t_start // interval), 1)
-    ac_np = np.asarray(tables["alphas_cumprod"])
-    if grid == "lambda":
-        lam_np = 0.5 * (np.log(ac_np) - np.log(np.maximum(1.0 - ac_np, 1e-12)))
-        target = np.linspace(lam_np[t_start - 1], lam_np[0], n_steps + 1)
-        ts = np.array([int(np.abs(lam_np[:t_start] - tv).argmin())
-                       for tv in target], np.int32)
-        # lam is strictly monotonic in t so duplicates only appear when
-        # n_steps approaches t_start; drop them (shortens the scan, host-side)
-        keep = np.concatenate([[True], ts[1:] != ts[:-1]])
-        ts = ts[keep]
-        ts[-1] = 0
-    else:
-        # timesteps visited: t_start-interval*k (k=0..n_steps-1) then 0
-        ts = np.concatenate([np.arange(n_steps - 1, -1, -1) * interval
-                             + (interval - 1), [0]]).astype(np.int32)
-        ts = np.clip(ts, 0, t_start - 1)
+    ts = dpmpp_timesteps(np.asarray(tables["alphas_cumprod"]), t_start,
+                         interval, grid)
     ac = tables["alphas_cumprod"]
     alpha = jnp.sqrt(ac)
     sigma = jnp.sqrt(1.0 - ac)

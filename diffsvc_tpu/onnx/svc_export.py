@@ -159,6 +159,108 @@ def export_svc_onnx(hp, params, out_dir: str, project_name: str,
     return paths
 
 
+def export_dpmpp_onnx(hp, out_dir: str, project_name: str,
+                      speedup: Optional[int] = None,
+                      t_mel: int = 10) -> Dict[str, str]:
+    """Write ``{proj}_dpmpp.onnx`` + ``{proj}_dpmpp_meta.json``: the
+    DPM-Solver++(2M) update step for the fast serving profile
+    (configs/config_44k_fast.yaml), deployable next to the reference-shaped
+    PLMS graphs (VERDICT r3 #8; graph contract style follows the reference
+    ``_pred`` artifact, modules/diff/diffusion_V2.py:252-352).
+
+    The graph computes ONE solver step with every per-step coefficient
+    (log-SNR grid spacing, alpha/sigma ratios, the 2M multistep weight,
+    optional x0 static thresholding) baked in as tables indexed by the
+    ``step`` input, so the host loop is trivial:
+
+        x0_prev = zeros; ts = meta["timesteps"]        # len S, ts[-1] == 0
+        for i in range(S):
+            eps = denoise(x, [ts[i]], cond)
+            x, x0_prev = dpmpp(x, eps, x0_prev, [i])
+        mel = after(x)                                  # final x == x0(t=0)
+
+    The first step's 2M weight is 0 (first-order bootstrap) and the last
+    entry has c_x=0, c_d=1 so x_next is the data prediction at t=0 —
+    exactly the in-process sampler (models/diffusion.py
+    p_sample_dpmpp_2m_scan), same ladder via the shared dpmpp_timesteps().
+    """
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from ..models.diffusion import GaussianDiffusion, dpmpp_timesteps
+
+    model = GaussianDiffusion(hp)
+    m = int(model.mel_bins)
+    k_step = int(model.cfg.K_step)
+    speedup = int(speedup or hp.get("pndm_speedup", 20) or 20)
+    grid = str(hp.get("dpmpp_grid", "lambda"))
+    clip_v = float(hp.get("sampler_clip_x0", 0) or 0)
+
+    ac = np.asarray(model.tables["alphas_cumprod"], np.float64)
+    ts = dpmpp_timesteps(ac, k_step, speedup, grid)      # len S, ts[-1]=0
+    alpha = np.sqrt(ac)
+    sigma = np.sqrt(np.maximum(1.0 - ac, 0.0))
+    lam = np.log(alpha) - np.log(np.maximum(sigma, 1e-12))
+
+    S = len(ts)
+    inv_a = 1.0 / np.maximum(alpha[ts], 1e-12)            # x0 from (x, eps)
+    soa = np.maximum(sigma[ts], 1e-12) / np.maximum(alpha[ts], 1e-12)
+    c_x = np.zeros(S)
+    c_d = np.zeros(S)
+    r_half = np.zeros(S)
+    h_prev = None
+    for i in range(S - 1):
+        t_c, t_n = int(ts[i]), int(ts[i + 1])
+        h = lam[t_n] - lam[t_c]
+        s_c = max(sigma[t_c], 1e-12)
+        c_x[i] = max(sigma[t_n], 1e-12) / s_c
+        c_d[i] = -alpha[t_n] * np.expm1(-h)
+        r_half[i] = 0.0 if h_prev is None else 0.5 * h / h_prev
+        h_prev = h
+    c_x[S - 1] = 0.0   # final entry: x_next = x0(t=0)
+    c_d[S - 1] = 1.0
+
+    inv_a_j = jnp.asarray(inv_a, jnp.float32)
+    soa_j = jnp.asarray(soa, jnp.float32)
+    c_x_j = jnp.asarray(c_x, jnp.float32)
+    c_d_j = jnp.asarray(c_d, jnp.float32)
+    rh_j = jnp.asarray(r_half, jnp.float32)
+
+    def dpmpp_fn(noise, noise_pred, x0_prev, step):
+        b = step[:, None, None, None]
+        x0 = noise * inv_a_j[b] - noise_pred * soa_j[b]
+        if clip_v > 0:   # folded x0 thresholding == the eps-rewrite wrapper
+            x0 = jnp.clip(x0, -clip_v, clip_v)
+        d = x0 + (x0 - x0_prev) * rh_j[b]
+        x_next = c_x_j[b] * noise + c_d_j[b] * d
+        return x_next, x0
+
+    args = (jnp.zeros((1, 1, m, t_mel), jnp.float32),
+            jnp.zeros((1, 1, m, t_mel), jnp.float32),
+            jnp.zeros((1, 1, m, t_mel), jnp.float32),
+            jnp.zeros((1,), jnp.int32))
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{project_name}_dpmpp.onnx")
+    with open(path, "wb") as f:
+        f.write(export_onnx(
+            dpmpp_fn, args,
+            input_names=["noise", "noise_pred", "x0_prev", "step"],
+            output_names=["x_next", "x0"],
+            dynamic_axes={"noise": [3], "noise_pred": [3], "x0_prev": [3]},
+            input_casts={"step": 7},
+            graph_name="dpmpp",
+            doc=f"DPM-Solver++(2M) step ({project_name}); in-repo sampler "
+                "models/diffusion.py p_sample_dpmpp_2m_scan (not in the "
+                "reference export surface)"))
+    meta_path = os.path.join(out_dir, f"{project_name}_dpmpp_meta.json")
+    with open(meta_path, "w") as f:
+        _json.dump({"timesteps": [int(t) for t in ts], "K_step": k_step,
+                    "speedup": speedup, "grid": grid,
+                    "sampler_clip_x0": clip_v}, f)
+    return {"dpmpp": path, "dpmpp_meta": meta_path}
+
+
 def export_vocoder_onnx(cfg, params, out_dir: str, project_name: str,
                         t_mel: int = 10) -> str:
     """Write ``{proj}_hifigan.onnx``: the (NSF-)HiFi-GAN generator as one

@@ -56,6 +56,16 @@ if __name__ == "__main__":
         from diffsvc_tpu.onnx.svc_export import export_svc_onnx, export_vocoder_onnx
 
         paths = export_svc_onnx(hp, params, out_dir, args.project)
+        # fast serving profile: when the config selects the dpmpp sampler
+        # (configs/config_44k_fast.yaml), also emit the solver-step graph +
+        # ladder metadata so the deployed artifact set covers the profile
+        if str(hp.get("sampler", "")).lower() in ("dpmpp", "dpm++",
+                                                  "dpm_solver"):
+            from diffsvc_tpu.onnx.svc_export import export_dpmpp_onnx
+
+            paths.update(export_dpmpp_onnx(
+                hp, out_dir, args.project,
+                speedup=int(hp.get("pndm_speedup", args.acc))))
         if args.vocoder:
             if "istft" in str(hp.get("vocoder", "")).lower():
                 from diffsvc_tpu.onnx.svc_export import export_istft_onnx

@@ -496,3 +496,112 @@ def test_run_onnx_chain_with_vocoder(svc_artifacts, tmp_path):
     assert wav is not None
     assert np.asarray(wav).reshape(-1).shape[0] == T * 8  # total_up = 4*2
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_run_onnx_chain_dpmpp_matches_model_infer(svc_artifacts):
+    """The fast-profile export (VERDICT r3 #8): {proj}_dpmpp.onnx + ladder
+    metadata driven by tools/run_onnx_chain.py --sampler dpmpp must
+    reproduce model.infer's DPM-Solver++(2M) output (with x0 clamping, the
+    config_44k_fast combination) from the same x_T."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from diffsvc_tpu.models.diffusion import GaussianDiffusion
+    from diffsvc_tpu.onnx.svc_export import export_dpmpp_onnx
+    from tools.run_onnx_chain import run_chain
+
+    hp, model, params, paths = svc_artifacts
+    art_dir = os.path.dirname(paths["encoder"])
+
+    hp2 = hp.copy()
+    hp2["sampler"] = "dpmpp"
+    hp2["sampler_clip_x0"] = 1.0
+    out = export_dpmpp_onnx(hp2, art_dir, "proj",
+                            speedup=int(hp["pndm_speedup"]))
+    assert set(out) == {"dpmpp", "dpmpp_meta"}
+    assert os.path.exists(out["dpmpp"]) and os.path.exists(out["dpmpp_meta"])
+
+    rng = np.random.RandomState(13)
+    T_ph, T, M = 7, 12, hp["audio_num_mel_bins"]
+    feats = {
+        "hubert": rng.randn(1, T_ph, hp["hidden_size"]).astype(np.float32),
+        "mel2ph": rng.randint(1, T_ph + 1, (1, T)).astype(np.int64),
+        "f0": (rng.rand(1, T) * 2 + 6).astype(np.float32),
+        "noise": rng.randn(1, 1, M, T).astype(np.float32),
+    }
+    mel, f0_pred, wav = run_chain(art_dir, "proj", feats,
+                                  k_step=hp["K_step"],
+                                  acc=hp["pndm_speedup"], sampler="dpmpp")
+    assert wav is None
+
+    model2 = GaussianDiffusion(hp2)
+    batch = {
+        "hubert": jnp.asarray(feats["hubert"]),
+        "mel2ph": jnp.asarray(feats["mel2ph"], jnp.int32),
+        "f0": jnp.asarray(feats["f0"]),
+    }
+    out_j = model2.infer(params, batch, jax.random.PRNGKey(0),
+                         init_noise=jnp.asarray(
+                             feats["noise"][:, 0].transpose(0, 2, 1)))
+    want = np.asarray(out_j["mel_out"]).transpose(0, 2, 1) * np.log(10.0)
+    np.testing.assert_allclose(mel, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dpmpp_export_unclipped_and_meta_ladder(svc_artifacts):
+    """Without sampler_clip_x0 the exported step graph must match the
+    unclipped sampler, and the meta ladder must equal the in-process
+    dpmpp_timesteps grid."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from diffsvc_tpu.models.diffusion import (GaussianDiffusion,
+                                              dpmpp_timesteps)
+    from diffsvc_tpu.onnx.svc_export import export_dpmpp_onnx
+    from tools.run_onnx_chain import run_chain
+
+    hp, model, params, paths = svc_artifacts
+    art_dir = os.path.dirname(paths["encoder"])
+
+    hp2 = hp.copy()
+    hp2["sampler"] = "dpmpp"
+    out = export_dpmpp_onnx(hp2, art_dir, "proj2",
+                            speedup=int(hp["pndm_speedup"]))
+    with open(out["dpmpp_meta"]) as f:
+        meta = json.load(f)
+    want_ts = dpmpp_timesteps(np.asarray(model.tables["alphas_cumprod"]),
+                              int(hp["K_step"]), int(hp["pndm_speedup"]))
+    assert meta["timesteps"] == [int(t) for t in want_ts]
+    assert meta["sampler_clip_x0"] == 0.0
+
+    # proj2 shares the proj encoder/denoise/after artifacts via symlinks
+    for stage in ("encoder", "denoise", "pred", "after"):
+        dst = os.path.join(art_dir, f"proj2_{stage}.onnx")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(art_dir, f"proj_{stage}.onnx"), dst)
+
+    rng = np.random.RandomState(14)
+    T_ph, T, M = 5, 9, hp["audio_num_mel_bins"]
+    feats = {
+        "hubert": rng.randn(1, T_ph, hp["hidden_size"]).astype(np.float32),
+        "mel2ph": rng.randint(1, T_ph + 1, (1, T)).astype(np.int64),
+        "f0": (rng.rand(1, T) * 2 + 6).astype(np.float32),
+        "noise": rng.randn(1, 1, M, T).astype(np.float32),
+    }
+    mel, _, _ = run_chain(art_dir, "proj2", feats, k_step=hp["K_step"],
+                          acc=hp["pndm_speedup"], sampler="dpmpp")
+    model2 = GaussianDiffusion(hp2)
+    batch = {
+        "hubert": jnp.asarray(feats["hubert"]),
+        "mel2ph": jnp.asarray(feats["mel2ph"], jnp.int32),
+        "f0": jnp.asarray(feats["f0"]),
+    }
+    out_j = model2.infer(params, batch, jax.random.PRNGKey(0),
+                         init_noise=jnp.asarray(
+                             feats["noise"][:, 0].transpose(0, 2, 1)))
+    want = np.asarray(out_j["mel_out"]).transpose(0, 2, 1) * np.log(10.0)
+    np.testing.assert_allclose(mel, want, rtol=1e-4, atol=1e-4)

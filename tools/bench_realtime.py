@@ -16,7 +16,20 @@ v5e chip through the fused single-dispatch graph (the flask --fused path):
 
 Usage: python tools/bench_realtime.py [--acc 50] [--runs 30]
        [--bucket-hops 16] [--durs 0.2,0.35,0.5,1.0]
+       [--profile prod|fast|gtmel]
 Prints one JSON line on stdout; logs to stderr.
+
+``--profile`` picks the serving levers for short buffers (VERDICT r3 #7):
+- prod: PLMS at --acc (reference protocol; 1000/acc NFE),
+- fast: DPM-Solver++(2M) + x0 clamp at --acc (config_44k_fast; at
+  acc=100 that's 11 NFE),
+- gtmel: shallow diffusion (use_gt_mel, add_noise_step 500) — the input
+  buffer's own mel is the diffusion start, 500/acc NFE.
+
+Every sample is paired with a no-op dispatch RTT probe (the bench.py r4
+load calibration): rows report the raw p50/p95 AND the stall-filtered
+p95 (samples whose same-iteration probe exceeded 2.5x the run's median
+RTT are tunnel stalls, not serving capability).
 """
 
 import argparse
@@ -38,6 +51,8 @@ def main():
     ap.add_argument("--runs", type=int, default=30)
     ap.add_argument("--bucket-hops", type=int, default=16)
     ap.add_argument("--durs", default="0.2,0.35,0.5,1.0")
+    ap.add_argument("--profile", default="prod",
+                    choices=("prod", "fast", "gtmel"))
     args = ap.parse_args()
     durs = [float(d) for d in args.durs.split(",")]
 
@@ -74,6 +89,12 @@ def main():
         fused_bucket_samples=BUCKET,
         fused_output_int16=True,   # the wire format (flask default)
         diff_compute_dtype="bfloat16", hubert_compute_dtype="bfloat16")
+    if args.profile == "fast":
+        hp["sampler"] = "dpmpp"
+        hp["sampler_clip_x0"] = 1.0
+    elif args.profile == "gtmel":
+        hp["use_gt_mel"] = True
+        hp["add_noise_step"] = 500
 
     model = GaussianDiffusion(hp)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -107,18 +128,37 @@ def main():
     def _sync(out):
         np.asarray(out[0][-4:])
 
+    # no-op dispatch RTT probe (bench.py r4 protocol): one tiny jitted op
+    # + a 4-float fetch, timed alongside every latency sample
+    tiny = jax.jit(lambda x: x + 1.0)
+    tiny_x = jnp.zeros((4,), jnp.float32)
+    np.asarray(tiny(tiny_x))
+
+    def probe():
+        t0 = time.time()
+        np.asarray(tiny(tiny_x))
+        return time.time() - t0
+
+    rtt0 = sorted(probe() for _ in range(5))[2]
+    log(f"| tunnel no-op RTT (median of 5): {rtt0*1e3:.1f} ms")
+
     rows = []
     for dur in durs:
         wav = make_buf(dur)
         t0 = time.time()
         _sync(fused(wav))
         cold = time.time() - t0
-        lat = []
+        lat, rtts = [], []
         for i in range(args.runs):
+            rtts.append(probe())
             t0 = time.time()
             _sync(fused(make_buf(dur, seed=i), rng=jax.random.PRNGKey(i)))
             lat.append(time.time() - t0)
         lat = np.array(lat)
+        rtts = np.array(rtts)
+        rtt_med = float(np.median(rtts))
+        ok = rtts <= 2.5 * rtt_med   # same-iteration tunnel-stall filter
+        lat_ok = lat[ok] if ok.any() else lat
         # 2-in-flight pipelined: per-buffer latency when the DAW overlaps
         pipe = []
         for i in range(args.runs // 2):
@@ -129,25 +169,34 @@ def main():
             _sync(o2)
             pipe.append((time.time() - t0) / 2)
         pipe = np.array(pipe)
+        p95f = float(np.percentile(lat_ok, 95))
         row = {
             "dur_s": dur,
             "cold_s": round(cold, 2),
             "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
             "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
+            "p95_ms_stall_filtered": round(p95f * 1e3, 1),
+            "tunnel_rtt_ms": round(rtt_med * 1e3, 1),
+            "stalled_samples": int((~ok).sum()),
             "pipe_p50_ms": round(float(np.percentile(pipe, 50)) * 1e3, 1),
             "rt_headroom": round(dur / float(np.percentile(lat, 95)), 2),
+            "rt_headroom_stall_filtered": round(dur / p95f, 2),
         }
         rows.append(row)
         log(f"| {dur:.2f}s buffer: cold {row['cold_s']}s, "
-            f"p50 {row['p50_ms']}ms, p95 {row['p95_ms']}ms, "
+            f"p50 {row['p50_ms']}ms, p95 {row['p95_ms']}ms "
+            f"({row['p95_ms_stall_filtered']}ms excl {row['stalled_samples']}"
+            f" stalls, rtt {row['tunnel_rtt_ms']}ms), "
             f"pipelined p50 {row['pipe_p50_ms']}ms, "
-            f"realtime headroom {row['rt_headroom']}x")
+            f"headroom {row['rt_headroom']}x/"
+            f"{row['rt_headroom_stall_filtered']}x")
 
     n_buckets = len([k for k in fused._fns if not isinstance(k, tuple)])
     log(f"| compiled length buckets: {n_buckets} "
         f"(bucket = {BUCKET} samples = {BUCKET/SR:.3f}s)")
     print(json.dumps({"metric": "realtime_buffer_latency",
-                      "acc": SPEEDUP, "bucket_samples": BUCKET,
+                      "acc": SPEEDUP, "profile": args.profile,
+                      "bucket_samples": BUCKET,
                       "n_buckets": n_buckets, "rows": rows}))
 
 

@@ -64,9 +64,21 @@ def plms_chain(den, pred, x, cond, k_step: int, interval: int):
     return x
 
 
+def dpmpp_chain(den, dpmpp, meta, x, cond):
+    """The fast-profile driver for ``{proj}_dpmpp.onnx``: every per-step
+    coefficient is baked in the graph, the host just walks the exported
+    ladder feeding the previous data prediction back in."""
+    ts = meta["timesteps"]
+    x0_prev = np.zeros_like(x)
+    for i, t in enumerate(ts):
+        eps = den(x, np.asarray([t], np.int64), cond)[0]
+        x, x0_prev = dpmpp(x, eps, x0_prev, np.asarray([i], np.int64))
+    return x
+
+
 def run_chain(artifact_dir: str, project: str, feats: dict, *,
               k_step: int = 1000, acc: int = 20, seed: int = 0,
-              n_mels: int = None):
+              n_mels: int = None, sampler: str = "plms"):
     """Returns (mel [1, M, T] ln-domain, f0_pred [1, T] Hz, wav or None)."""
     from diffsvc_tpu.onnx import OnnxRunner
 
@@ -99,7 +111,17 @@ def run_chain(artifact_dir: str, project: str, feats: dict, *,
         x = np.random.RandomState(seed).randn(1, 1, n_mels,
                                               t_mel).astype(np.float32)
 
-    x = plms_chain(den, pred, x, cond, k_step, acc)
+    if sampler == "dpmpp":
+        dpmpp = load("dpmpp")
+        meta_path = os.path.join(artifact_dir, f"{project}_dpmpp_meta.json")
+        assert dpmpp is not None and os.path.exists(meta_path), (
+            f"missing {project}_dpmpp.onnx/_dpmpp_meta.json under "
+            f"{artifact_dir} (export with sampler: dpmpp)")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        x = dpmpp_chain(den, dpmpp, meta, x, cond)
+    else:
+        x = plms_chain(den, pred, x, cond, k_step, acc)
     mel = after(x)[0]          # [1, M, T] natural-log mel
 
     wav = None
@@ -143,6 +165,7 @@ def main():
     ap.add_argument("--features", required=True)
     ap.add_argument("--K_step", type=int, default=1000)
     ap.add_argument("--acc", type=int, default=20)
+    ap.add_argument("--sampler", default="plms", choices=["plms", "dpmpp"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=".")
     args = ap.parse_args()
@@ -150,7 +173,7 @@ def main():
     feats = dict(np.load(args.features))
     mel, f0_pred, wav = run_chain(args.artifacts, args.project, feats,
                                   k_step=args.K_step, acc=args.acc,
-                                  seed=args.seed)
+                                  seed=args.seed, sampler=args.sampler)
     os.makedirs(args.out, exist_ok=True)
     np.save(os.path.join(args.out, "mel.npy"), mel)
     outs = {"mel": "mel.npy", "mel_shape": list(mel.shape)}
