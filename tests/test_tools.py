@@ -52,3 +52,22 @@ def test_cwt_f0_reconstruction_roundtrip():
     c = np.corrcoef(np.log(rec), np.log(f0))[0, 1]
     assert c > 0.85, c
     assert abs(np.log(rec).mean() - np.log(f0).mean()) < 0.1
+
+
+def test_trans_key_move_key_and_f0():
+    """12-tone transpose helper (reference trans_key.py surface): octave
+    carries in both directions and the 2^(k/12) f0 scaling."""
+    import trans_key as tk
+
+    assert tk.move_key("A4", 3) == "C5"
+    assert tk.move_key("C4", -1) == "B3"
+    assert tk.move_key("B3", 1) == "C4"
+    assert tk.move_key("C4", -13) == "B2"
+    assert tk.move_key("A#4", 14) == "C6"
+    assert tk.move_key("D5", 0) == "D5"
+    assert tk.trans_f0_seq(440.0, 12) == 880.0
+    assert tk.trans_f0_seq(440.0, -12) == 220.0
+    rows = [{"note_seq": "A4 rest C5", "f0_seq": "440.0 0.0 523.3"}]
+    out = tk.trans_key(rows, 2)
+    assert out[0]["note_seq"] == "B4 rest D5"
+    assert out[0]["f0_seq"].split()[1] == "0.0"

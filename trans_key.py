@@ -15,16 +15,11 @@ def trans_f0_seq(feature_pit, transform):
 
 
 def move_key(raw_data, mv_key):
-    head = raw_data[:-1]
-    body = int(raw_data[-1])
-    new_head_index = head_list.index(head) + mv_key
-    while new_head_index < 0:
-        body -= 1
-        new_head_index += 12
-    while new_head_index > 11:
-        body += 1
-        new_head_index -= 12
-    return head_list[new_head_index] + str(body)
+    """Shift a note name like 'A#4' by mv_key semitones; Python's floored
+    divmod gives the octave carry in one step for either direction."""
+    pitch_class, octave = raw_data[:-1], int(raw_data[-1])
+    carry, idx = divmod(head_list.index(pitch_class) + mv_key, 12)
+    return head_list[idx] + str(octave + carry)
 
 
 def trans_key(raw_data, key):
