@@ -37,9 +37,14 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--segment-frames", type=int, default=32)
     ap.add_argument("--n-clips", type=int, default=16)
-    ap.add_argument("--out", default=os.path.join(REPO, "runs/vocoder_ab"))
+    ap.add_argument("--out", default=None)
     ap.add_argument("--cpu-smoke", action="store_true")
     args = ap.parse_args()
+    if args.out is None:
+        # smoke runs must never clobber the committed TPU artifact set
+        args.out = (os.path.join(REPO, "runs/vocoder_ab_smoke")
+                    if args.cpu_smoke
+                    else os.path.join(REPO, "runs/vocoder_ab"))
 
     from diffsvc_tpu.utils.compile_cache import enable as _cc
 
@@ -144,6 +149,12 @@ def main():
         log(f"[{name}] held-out after {args.steps} steps: mel-L1 {l1_a:.4f} "
             f"mr-stft {stft_a:.4f} ({steps_s:.2f} steps/s)")
         save_wav(np.asarray(wav_a), f"{args.out}/{name}_after.wav", sr)
+        # keep the trained generator so renders are reproducible without
+        # retraining (pytree pickle; small at these dims)
+        import pickle
+
+        with open(f"{args.out}/{name}_g.pkl", "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, state["g_params"]), f)
         return {
             "family": name, "steps": args.steps,
             "steps_per_s": round(steps_s, 3),
