@@ -10,7 +10,9 @@ and the all-gather for the mel2ph gather and still reproduce the
 single-device numbers.
 
 Slow-marked: a production fwd+bwd at T=4096 on the CPU test platform is a
-multi-TFLOP graph (~minutes).
+multi-TFLOP graph — the training-parity test alone measures ~18 min on
+the CPU host (XLA-CPU backward-conv cost + two GSPMD compiles), the other
+two ~70 s and ~25 s. Deselect with ``-m 'not slow'`` for quick runs.
 
 Depth is 8 layers = TWO full dilation cycles (1,2,4,8,1,2,4,8) rather
 than production's 20 (five cycles): the sharding semantics under test —
