@@ -21,26 +21,60 @@ from diffsvc_tpu.infer.svc import Svc
 from diffsvc_tpu.utils.audio_io import resample
 
 
-def _infer_wav(model, acc, wav_bytes: bytes, f_pitch_change: float,
-               daw_sample: int, fused: bool = False) -> bytes:
-    input_wav = io.BytesIO(wav_bytes)
+def _convert_floats(model, acc, wav: np.ndarray, f_pitch_change: float,
+                    fused: bool) -> np.ndarray:
+    """float32 wav @ model sr -> converted float32 wav @ model sr, same
+    length. The streaming path needs conversion as a pure array->array
+    function (it feeds synthetic [context ++ buffer] windows, not the
+    posted bytes)."""
     if fused:
-        # bounded-latency path: the whole pipeline is one XLA program per
-        # length bucket (set fused_bucket_samples in the config to bound
-        # the number of compiled buckets for streaming buffers)
         from diffsvc_tpu.infer.fused import FusedSvc
+
+        model.hp.setdefault("fused_bucket_samples",
+                            model.hp["hop_size"] * 256)
+        model.hp.setdefault("fused_output_int16", True)
+        audio, _f0, _mel = model.infer_fused(wav, key=int(f_pitch_change),
+                                             acc=acc)
+        audio = FusedSvc.to_float(audio)
+    else:
+        buf = io.BytesIO()
+        wavfile.write(buf, model.hp["audio_sample_rate"],
+                      (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+        buf.seek(0)
+        _f0_tst, _f0_pred, audio = model.infer(
+            buf, key=f_pitch_change, acc=acc, use_pe=False, use_crepe=False)
+        audio = np.asarray(audio, np.float32)
+    if len(audio) < len(wav):
+        audio = np.pad(audio, (0, len(wav) - len(audio)))
+    return audio[: len(wav)]
+
+
+def _infer_wav(model, acc, wav_bytes: bytes, f_pitch_change: float,
+               daw_sample: int, fused: bool = False, stream=None) -> bytes:
+    input_wav = io.BytesIO(wav_bytes)
+    if stream is not None:
+        # click-free continuous mode (beyond reference): left context +
+        # held-tail crossfade across consecutive DAW buffers
+        # (diffsvc_tpu/infer/streaming.py). The first response is
+        # zero-padded at the head so every response keeps the posted
+        # buffer's duration (the stream runs crossfade_ms late).
         from diffsvc_tpu.utils.audio_io import load_wav
 
         wav, _ = load_wav(input_wav, sr=model.hp["audio_sample_rate"])
-        true_len = len(wav)
-        model.hp.setdefault("fused_bucket_samples",
-                            model.hp["hop_size"] * 256)
-        # int16 device output: the response is int16 anyway and the big
-        # device->host waveform copy halves (doc/performance.md)
-        model.hp.setdefault("fused_output_int16", True)
-        _audio, _f0, _mel = model.infer_fused(wav, key=int(f_pitch_change),
-                                              acc=acc)
-        _audio = FusedSvc.to_float(_audio)[:true_len]
+        stream.pitch = f_pitch_change
+        _audio = stream(wav)
+        if len(_audio) < len(wav):
+            _audio = np.concatenate(
+                [np.zeros(len(wav) - len(_audio), np.float32), _audio])
+    elif fused:
+        # bounded-latency path: the whole pipeline is one XLA program per
+        # length bucket (set fused_bucket_samples in the config to bound
+        # the number of compiled buckets for streaming buffers); int16
+        # device output halves the device->host copy (doc/performance.md)
+        from diffsvc_tpu.utils.audio_io import load_wav
+
+        wav, _ = load_wav(input_wav, sr=model.hp["audio_sample_rate"])
+        _audio = _convert_floats(model, acc, wav, f_pitch_change, fused=True)
     else:
         _f0_tst, _f0_pred, _audio = model.infer(
             input_wav, key=f_pitch_change, acc=acc, use_pe=False,
@@ -52,7 +86,26 @@ def _infer_wav(model, acc, wav_bytes: bytes, f_pitch_change: float,
     return out.getvalue()
 
 
-def make_handler(model, accelerate, fused=False):
+def make_stream(model, acc, fused=False, context_ms=100.0,
+                crossfade_ms=40.0):
+    """One StreamingConverter per server — the reference VST protocol is
+    one plugin instance per service (ref flask_api.py:19-54), so a single
+    stream state matches the use case. ``stream.pitch`` is re-read on
+    every converted window, so mid-stream fPitchChange edits take effect
+    (smoothed across the crossfade like any other discontinuity)."""
+    from diffsvc_tpu.infer.streaming import StreamingConverter
+
+    def convert(w):
+        return _convert_floats(model, acc, w, stream.pitch, fused)
+
+    stream = StreamingConverter(convert, model.hp["audio_sample_rate"],
+                                context_ms=context_ms,
+                                crossfade_ms=crossfade_ms)
+    stream.pitch = 0.0
+    return stream
+
+
+def make_handler(model, accelerate, fused=False, stream=None):
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
             if self.path != "/voiceChangeModel":
@@ -79,7 +132,8 @@ def make_handler(model, accelerate, fused=False):
             daw_sample = int(float(fields.get("sampleRate", 44100)))
             try:
                 body = _infer_wav(model, accelerate, wav_bytes,
-                                  f_pitch_change, daw_sample, fused=fused)
+                                  f_pitch_change, daw_sample, fused=fused,
+                                  stream=stream)
             except Exception as e:  # pragma: no cover
                 self.send_error(500, str(e))
                 return
@@ -156,6 +210,13 @@ if __name__ == "__main__":
     ap.add_argument("--warmup", type=float, default=0.0, metavar="SECONDS",
                     help="with --fused: pre-compile all length buckets up "
                          "to this buffer duration before accepting requests")
+    ap.add_argument("--stream", action="store_true",
+                    help="click-free continuous mode: convert each buffer "
+                         "with left context from the previous one and "
+                         "crossfade the seam (adds stream-crossfade-ms of "
+                         "latency; beyond the reference service)")
+    ap.add_argument("--stream-context-ms", type=float, default=100.0)
+    ap.add_argument("--stream-crossfade-ms", type=float, default=40.0)
     args = ap.parse_args()
 
     model_path = args.model or f"./checkpoints/{args.project}/"
@@ -170,7 +231,12 @@ if __name__ == "__main__":
                   "ignored (the modular path compiles per stage on first "
                   "request)")
 
+    stream = (make_stream(model, args.acc, fused=args.fused,
+                          context_ms=args.stream_context_ms,
+                          crossfade_ms=args.stream_crossfade_ms)
+              if args.stream else None)
     server = HTTPServer(("0.0.0.0", args.port),
-                        make_handler(model, args.acc, fused=args.fused))
+                        make_handler(model, args.acc, fused=args.fused,
+                                     stream=stream))
     print(f"| serving /voiceChangeModel on :{args.port}")
     server.serve_forever()

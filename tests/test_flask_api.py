@@ -61,6 +61,53 @@ def test_voice_change_endpoint():
         server.shutdown()
 
 
+def test_streaming_mode_keeps_buffer_duration_and_continuity():
+    """--stream serving: every response keeps the posted buffer's
+    duration (the first is zero-padded at the head by the crossfade
+    delay), and the concatenated stream is the converted signal —
+    continuous across buffer boundaries."""
+    from flask_api import make_handler, make_stream
+
+    model = FakeModel()
+    stream = make_stream(model, acc=50, fused=False,
+                         context_ms=100.0, crossfade_ms=40.0)
+    server = HTTPServer(("127.0.0.1", 0),
+                        make_handler(model, accelerate=50, stream=stream))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        sr = 8000
+        n = 1600
+        x = (0.4 * np.sin(2 * np.pi * 220 * np.arange(3 * n) / sr)
+             ).astype(np.float32)
+        got = []
+        for k in range(3):
+            buf = io.BytesIO()
+            wavfile.write(buf, sr,
+                          (x[k * n:(k + 1) * n] * 32767).astype(np.int16))
+            body, ctype = _multipart(
+                {"fPitchChange": "0", "sampleRate": str(sr)}, buf.getvalue())
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/voiceChangeModel", data=body,
+                headers={"Content-Type": ctype}, method="POST")
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                out_sr, out = wavfile.read(io.BytesIO(resp.read()))
+            assert out_sr == sr
+            assert len(out) == n  # duration contract holds per buffer
+            got.append(out.astype(np.float32) / 32767.0)
+        y = np.concatenate(got)
+        C = stream.C
+        # head: the crossfade delay, emitted as silence on buffer 0
+        assert np.all(got[0][:C] == 0)
+        # body: the converted (0.5x) signal, delayed by C, with no
+        # boundary artifacts (FakeModel is stateless, so the blend is
+        # exact up to two int16 round trips)
+        np.testing.assert_allclose(y[C:], 0.5 * x[: 3 * n - C], atol=2e-4)
+    finally:
+        server.shutdown()
+
+
 def test_warmup_fused_compiles_every_bucket():
     """--warmup pre-compiles each fused length bucket (ceil(max_s*sr /
     bucket) silent buffers, each padded UP to its own bucket) before the
