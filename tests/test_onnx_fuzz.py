@@ -23,7 +23,7 @@ def _random_program(rng: np.random.RandomState):
     b = rng.randn(C2).astype(np.float32)
     g = rng.randn(1, 1, C2).astype(np.float32)
     n_ops = int(rng.randint(3, 8))
-    choices = rng.randint(0, 12, size=n_ops)
+    choices = rng.randint(0, 18, size=n_ops)
     axis = int(rng.randint(0, 3))
     shift_t = int(rng.randint(1, T))
 
@@ -56,14 +56,31 @@ def _random_program(rng: np.random.RandomState):
             elif c == 10:
                 h = h / (jnp.sqrt(jnp.maximum(
                     (h * h).mean(axis=-1, keepdims=True), 1e-6)))
-            else:
+            elif c == 11:
                 h = jnp.maximum(h, 0.1 * h)  # leaky relu via primitives
+            # 12-17: the dpmpp step graph's scalar-ladder op classes
+            # (onnx/svc_export.py export_dpmpp_onnx) — exp/expm1 on
+            # negative log-SNR steps, sqrt alpha/sigma ratios, the x0
+            # clamp, where-masks, log1p — bounded so random chains
+            # stay finite
+            elif c == 12:
+                h = jnp.exp(-jnp.abs(h))
+            elif c == 13:
+                h = jnp.expm1(-jnp.abs(h)) + 0.5
+            elif c == 14:
+                h = jnp.sqrt(jnp.abs(h) + 1e-3)
+            elif c == 15:
+                h = jnp.clip(h, -1.0, 1.0)
+            elif c == 16:
+                h = jnp.where(h > 0, h, jnp.tanh(h))
+            else:
+                h = jnp.log1p(jnp.abs(h))
         return h.sum(axis=-1)
 
     return fn, (x,)
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(12))
 def test_fuzz_random_programs(seed):
     rng = np.random.RandomState(1234 + seed)
     fn, args = _random_program(rng)
