@@ -249,6 +249,15 @@ def wav2spec(wav: np.ndarray, hp) -> tuple:
             hop=hp["hop_size"], win_length=hp["win_size"],
             n_mels=hp["audio_num_mel_bins"], fmin=float(hp["fmin"]), fmax=float(hp["fmax"])))
         return wav, mel
+    if hp.get("loud_norm"):
+        # reference process_utterance loud_norm: BS.1770 normalize to
+        # -22 LUFS + peak protection (data_gen_utils.py:117-122; the
+        # pwg wav2spec is the one caller that passes it, pwg.py:116)
+        from .loudness import normalize_loudness
+
+        wav = normalize_loudness(wav, hp["audio_sample_rate"], -22.0)
+        if len(wav) and np.abs(wav).max() > 1.0:
+            wav = wav / np.abs(wav).max()
     mel = np.asarray(wav2mel_pwg(
         jnp.asarray(wav), sr=hp["audio_sample_rate"], n_fft=hp["fft_size"],
         hop=hp["hop_size"], win_length=hp["win_size"],

@@ -101,35 +101,86 @@ def format_wav(in_path: str, out_path: Optional[str] = None) -> str:
         f"Non-WAV input {in_path}: convert to WAV first (ffmpeg -i in out.wav)")
 
 
+def _energy_vad(pcm_window: np.ndarray, db_threshold: float) -> bool:
+    """Per-window voice decision on int16 PCM: RMS gate in dBFS.
+
+    This is the ONE substitution in :func:`trim_long_silences` vs the
+    reference: webrtcvad mode 3 (a fixed-point GMM classifier whose model
+    tables are not available in this environment) is replaced by an
+    energy gate on the same 30 ms / 16 kHz int16 windows. Everything
+    around the decision — resample, windowing, smoothing, dilation, mask
+    resize — follows the reference arithmetic exactly."""
+    x = pcm_window.astype(np.float64) / 32767.0
+    rms = np.sqrt((x * x).mean()) if len(x) else 0.0
+    return bool(20.0 * np.log10(max(rms, 1e-10)) > db_threshold)
+
+
 def trim_long_silences(wav: np.ndarray, sr: int,
-                       vad_window_ms: int = 30,
-                       moving_average_width: int = 8,
-                       max_silence_length: int = 12,
+                       vad_max_silence_length: int = 12,
+                       norm: bool = False,
+                       vad_fn=None,
                        db_threshold: float = -40.0):
-    """Energy-based VAD silence trimming (the reference's optional
-    ``trim_long_sil`` path used webrtcvad; this is the in-repo equivalent:
-    framewise dB gate + moving-average smoothing + dilation).
+    """Trim silences longer than the VAD dilation window.
 
-    Returns (trimmed_wav, mask)."""
-    spw = int(sr * vad_window_ms / 1000)
-    n = len(wav) - (len(wav) % spw)
-    frames = wav[:n].reshape(-1, spw)
-    rms = np.sqrt((frames**2).mean(axis=1))
-    voiced = 20 * np.log10(np.maximum(rms, 1e-10)) > db_threshold
+    Mirrors reference ``preprocessing/data_gen_utils.py:30-93`` stage by
+    stage: (optional) BS.1770 loudness normalization to -20 LUFS with
+    peak protection (:41-46, in-repo meter ``ops/loudness.py``); VAD on
+    30 ms int16 windows at 16 kHz regardless of the input rate (:47-75);
+    width-8 moving-average smoothing with the reference's asymmetric
+    zero padding (:76-85); binary dilation by a
+    ``ones(vad_max_silence_length + 1)`` structuring element (:87 — for
+    the default 12 that is 6 frames each side, NOT 12); then the
+    16 kHz sample mask is resized to the raw waveform's length and
+    applied to the ORIGINAL-RATE audio (:88-93). The VAD decision
+    itself is an energy gate standing in for webrtcvad (see
+    :func:`_energy_vad`); pass ``vad_fn(pcm_int16_window) -> bool`` to
+    substitute another detector.
 
-    # moving-average smoothing
-    w = moving_average_width
-    padded = np.concatenate([np.zeros((w - 1) // 2), voiced.astype(float),
+    Returns ``(trimmed_wav, mask)`` with ``mask`` over the input-length
+    (possibly loudness-normalized) waveform.
+    """
+    from scipy.ndimage import binary_dilation
+
+    wav_raw = np.asarray(wav, np.float32)
+    if norm:
+        from ..ops.loudness import normalize_loudness
+
+        wav_raw = normalize_loudness(wav_raw, sr, -20.0)
+        peak = float(np.abs(wav_raw).max()) if len(wav_raw) else 0.0
+        if peak > 1.0:
+            wav_raw = wav_raw / peak
+
+    vad_sr = 16000
+    w16 = resample(wav_raw, sr, vad_sr) if sr != vad_sr else wav_raw
+    spw = (30 * vad_sr) // 1000  # 30 ms windows (480 samples)
+    w16 = w16[: len(w16) - (len(w16) % spw)]
+    if not len(w16):
+        return wav_raw, np.ones(len(wav_raw), bool)
+    pcm = np.round(np.clip(w16, -1.0, 1.0) * 32767).astype(np.int16)
+    if vad_fn is None:
+        def vad_fn(window):  # noqa: E306
+            return _energy_vad(window, db_threshold)
+    flags = np.array([vad_fn(pcm[i: i + spw])
+                      for i in range(0, len(pcm), spw)], np.float64)
+
+    # moving average width 8, reference padding: (w-1)//2 zeros front,
+    # w//2 back (data_gen_utils.py:77-84)
+    w = 8
+    padded = np.concatenate([np.zeros((w - 1) // 2), flags,
                              np.zeros(w // 2)])
     c = np.cumsum(padded)
-    smooth = (c[w:] - c[:-w]) if len(c) > w else voiced.astype(float)
-    smooth = np.round(np.concatenate([[voiced[0]], smooth / w])[: len(voiced)])
+    c[w:] = c[w:] - c[:-w]
+    mask = np.round(c[w - 1:] / w).astype(bool)
 
-    # dilate voiced regions
-    mask = smooth.astype(bool)
-    for _ in range(max_silence_length):
-        mask = mask | np.roll(mask, 1) | np.roll(mask, -1)
-    sample_mask = np.repeat(mask, spw)
-    sample_mask = np.concatenate(
-        [sample_mask, np.ones(len(wav) - len(sample_mask), bool)])
-    return wav[sample_mask], sample_mask
+    mask = binary_dilation(mask, np.ones(vad_max_silence_length + 1))
+    mask = np.repeat(mask, spw)
+    # reference resizes the 16 kHz mask to the raw length (skimage
+    # resize > 0); linear interpolation of the float mask is the same
+    # operation without the skimage dependency
+    if len(mask) != len(wav_raw):
+        pos = np.linspace(0.0, len(mask) - 1.0, num=len(wav_raw))
+        sample_mask = np.interp(pos, np.arange(len(mask)),
+                                mask.astype(np.float64)) > 0
+    else:
+        sample_mask = mask.astype(bool)
+    return wav_raw[sample_mask], sample_mask

@@ -26,6 +26,13 @@ Prints one JSON line on stdout; logs to stderr.
 - gtmel: shallow diffusion (use_gt_mel, add_noise_step 500) — the input
   buffer's own mel is the diffusion start, 500/acc NFE.
 
+``--stream`` measures the click-free continuous mode (flask_api --stream,
+diffsvc_tpu/infer/streaming.py) instead of independent per-buffer
+conversion: each call converts [context_ms of real history ++ buffer],
+so the compiled window is bigger (the price of continuity) and the rows
+report the latency of the stateful stream call. Pipelined columns are
+omitted (the stream is order-dependent by construction).
+
 Every sample is paired with a no-op dispatch RTT probe (the bench.py r4
 load calibration): rows report the raw p50/p95 AND the stall-filtered
 p95 (samples whose same-iteration probe exceeded 2.5x the run's median
@@ -53,6 +60,12 @@ def main():
     ap.add_argument("--durs", default="0.2,0.35,0.5,1.0")
     ap.add_argument("--profile", default="prod",
                     choices=("prod", "fast", "gtmel"))
+    ap.add_argument("--stream", action="store_true",
+                    help="measure the click-free streaming mode (left "
+                         "context + held-tail crossfade) instead of "
+                         "independent per-buffer conversion")
+    ap.add_argument("--stream-context-ms", type=float, default=100.0)
+    ap.add_argument("--stream-crossfade-ms", type=float, default=40.0)
     args = ap.parse_args()
     durs = [float(d) for d in args.durs.split(",")]
 
@@ -111,7 +124,8 @@ def main():
     packed = gen.pack_params(voc_params, voc_cfg, 128)
     voc = SimpleNamespace(params=voc_params, cfg=voc_cfg, pack_lanes=128,
                           run_params=packed)
-    built = gen.build_tail_params(voc_params, packed, voc_cfg, 128)
+    built = (gen.build_tail_params(voc_params, packed, voc_cfg, 128)
+             if gen.tail_kernel_enabled(hp) else None)  # auto = TPU only
     if built is not None:
         plan, tail_params = built
         voc.run_params, voc.tail_plan = tail_params, plan
@@ -142,33 +156,57 @@ def main():
     rtt0 = sorted(probe() for _ in range(5))[2]
     log(f"| tunnel no-op RTT (median of 5): {rtt0*1e3:.1f} ms")
 
+    if args.stream:
+        from diffsvc_tpu.infer.streaming import StreamingConverter
+
     rows = []
     for dur in durs:
         wav = make_buf(dur)
-        t0 = time.time()
-        _sync(fused(wav))
-        cold = time.time() - t0
-        lat, rtts = [], []
-        for i in range(args.runs):
-            rtts.append(probe())
+        if args.stream:
+            # stateful continuous mode: each steady-state call converts
+            # [context ++ buffer] and returns host float audio (the wire
+            # fetch is part of the streaming contract — the crossfade
+            # needs the samples; int16 ~26 KB per 0.3 s window, <1 ms)
+            kiter = [0]
+
+            def convert(w):
+                kiter[0] += 1
+                audio, _f0, _mel = fused(
+                    w, rng=jax.random.PRNGKey(kiter[0]))
+                out = FusedSvc.to_float(np.asarray(audio))[: len(w)]
+                if len(out) < len(w):
+                    out = np.pad(out, (0, len(w) - len(out)))
+                return out
+
+            sc = StreamingConverter(convert, SR,
+                                    context_ms=args.stream_context_ms,
+                                    crossfade_ms=args.stream_crossfade_ms)
             t0 = time.time()
-            _sync(fused(make_buf(dur, seed=i), rng=jax.random.PRNGKey(i)))
-            lat.append(time.time() - t0)
+            sc(wav)                    # buffer-only window (first call)
+            sc(make_buf(dur, seed=1))  # context+buffer window (2nd compile)
+            cold = time.time() - t0
+            lat, rtts = [], []
+            for i in range(args.runs):
+                rtts.append(probe())
+                t0 = time.time()
+                sc(make_buf(dur, seed=2 + i))
+                lat.append(time.time() - t0)
+        else:
+            t0 = time.time()
+            _sync(fused(wav))
+            cold = time.time() - t0
+            lat, rtts = [], []
+            for i in range(args.runs):
+                rtts.append(probe())
+                t0 = time.time()
+                _sync(fused(make_buf(dur, seed=i),
+                            rng=jax.random.PRNGKey(i)))
+                lat.append(time.time() - t0)
         lat = np.array(lat)
         rtts = np.array(rtts)
         rtt_med = float(np.median(rtts))
         ok = rtts <= 2.5 * rtt_med   # same-iteration tunnel-stall filter
         lat_ok = lat[ok] if ok.any() else lat
-        # 2-in-flight pipelined: per-buffer latency when the DAW overlaps
-        pipe = []
-        for i in range(args.runs // 2):
-            t0 = time.time()
-            o1 = fused(make_buf(dur, seed=i), rng=jax.random.PRNGKey(50 + i))
-            o2 = fused(make_buf(dur, seed=-i), rng=jax.random.PRNGKey(90 + i))
-            _sync(o1)
-            _sync(o2)
-            pipe.append((time.time() - t0) / 2)
-        pipe = np.array(pipe)
         p95f = float(np.percentile(lat_ok, 95))
         row = {
             "dur_s": dur,
@@ -178,26 +216,45 @@ def main():
             "p95_ms_stall_filtered": round(p95f * 1e3, 1),
             "tunnel_rtt_ms": round(rtt_med * 1e3, 1),
             "stalled_samples": int((~ok).sum()),
-            "pipe_p50_ms": round(float(np.percentile(pipe, 50)) * 1e3, 1),
             "rt_headroom": round(dur / float(np.percentile(lat, 95)), 2),
             "rt_headroom_stall_filtered": round(dur / p95f, 2),
         }
+        if not args.stream:
+            # 2-in-flight pipelined: per-buffer latency when the DAW
+            # overlaps (order-dependent stream mode cannot pipeline)
+            pipe = []
+            for i in range(args.runs // 2):
+                t0 = time.time()
+                o1 = fused(make_buf(dur, seed=i),
+                           rng=jax.random.PRNGKey(50 + i))
+                o2 = fused(make_buf(dur, seed=-i),
+                           rng=jax.random.PRNGKey(90 + i))
+                _sync(o1)
+                _sync(o2)
+                pipe.append((time.time() - t0) / 2)
+            row["pipe_p50_ms"] = round(
+                float(np.percentile(np.array(pipe), 50)) * 1e3, 1)
         rows.append(row)
         log(f"| {dur:.2f}s buffer: cold {row['cold_s']}s, "
             f"p50 {row['p50_ms']}ms, p95 {row['p95_ms']}ms "
             f"({row['p95_ms_stall_filtered']}ms excl {row['stalled_samples']}"
             f" stalls, rtt {row['tunnel_rtt_ms']}ms), "
-            f"pipelined p50 {row['pipe_p50_ms']}ms, "
-            f"headroom {row['rt_headroom']}x/"
+            + (f"pipelined p50 {row['pipe_p50_ms']}ms, "
+               if "pipe_p50_ms" in row else "")
+            + f"headroom {row['rt_headroom']}x/"
             f"{row['rt_headroom_stall_filtered']}x")
 
     n_buckets = len([k for k in fused._fns if not isinstance(k, tuple)])
     log(f"| compiled length buckets: {n_buckets} "
         f"(bucket = {BUCKET} samples = {BUCKET/SR:.3f}s)")
-    print(json.dumps({"metric": "realtime_buffer_latency",
-                      "acc": SPEEDUP, "profile": args.profile,
-                      "bucket_samples": BUCKET,
-                      "n_buckets": n_buckets, "rows": rows}))
+    rec = {"metric": "realtime_buffer_latency",
+           "acc": SPEEDUP, "profile": args.profile,
+           "bucket_samples": BUCKET,
+           "n_buckets": n_buckets, "rows": rows}
+    if args.stream:
+        rec["stream"] = {"context_ms": args.stream_context_ms,
+                         "crossfade_ms": args.stream_crossfade_ms}
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
