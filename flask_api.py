@@ -10,6 +10,7 @@ a flask app factory is provided for environments that have it.
 
 import argparse
 import io
+import time
 from email.parser import BytesParser
 from email.policy import default as email_default_policy
 from http.server import BaseHTTPRequestHandler, HTTPServer
@@ -61,6 +62,16 @@ def _infer_wav(model, acc, wav_bytes: bytes, f_pitch_change: float,
         from diffsvc_tpu.utils.audio_io import load_wav
 
         wav, _ = load_wav(input_wav, sr=model.hp["audio_sample_rate"])
+        now = time.time()
+        idle = getattr(stream, "idle_reset_s", 0.0)
+        last = getattr(stream, "last_call_t", None)
+        if idle and last is not None and now - last > idle:
+            # the DAW paused: the held tail/context belong to a take
+            # that ended — drop them instead of crossfading stale audio
+            # into the new one (the restarted stream re-pays its one
+            # crossfade of head delay)
+            stream.flush()
+        stream.last_call_t = now
         stream.pitch = f_pitch_change
         _audio = stream(wav)
         if len(_audio) < len(wav):
@@ -87,12 +98,15 @@ def _infer_wav(model, acc, wav_bytes: bytes, f_pitch_change: float,
 
 
 def make_stream(model, acc, fused=False, context_ms=100.0,
-                crossfade_ms=40.0):
+                crossfade_ms=40.0, idle_reset_s=2.0):
     """One StreamingConverter per server — the reference VST protocol is
     one plugin instance per service (ref flask_api.py:19-54), so a single
     stream state matches the use case. ``stream.pitch`` is re-read on
     every converted window, so mid-stream fPitchChange edits take effect
-    (smoothed across the crossfade like any other discontinuity)."""
+    (smoothed across the crossfade like any other discontinuity).
+    ``idle_reset_s`` restarts the stream after a request gap longer than
+    that (a paused/stopped DAW): without it, minutes-old context would be
+    crossfaded into the head of the next take. 0 disables."""
     from diffsvc_tpu.infer.streaming import StreamingConverter
 
     def convert(w):
@@ -102,6 +116,7 @@ def make_stream(model, acc, fused=False, context_ms=100.0,
                                 context_ms=context_ms,
                                 crossfade_ms=crossfade_ms)
     stream.pitch = 0.0
+    stream.idle_reset_s = float(idle_reset_s)
     return stream
 
 
@@ -217,6 +232,9 @@ if __name__ == "__main__":
                          "latency; beyond the reference service)")
     ap.add_argument("--stream-context-ms", type=float, default=100.0)
     ap.add_argument("--stream-crossfade-ms", type=float, default=40.0)
+    ap.add_argument("--stream-idle-reset-s", type=float, default=2.0,
+                    help="restart the stream after a request gap longer "
+                         "than this (a paused DAW); 0 disables")
     args = ap.parse_args()
 
     model_path = args.model or f"./checkpoints/{args.project}/"
@@ -233,7 +251,8 @@ if __name__ == "__main__":
 
     stream = (make_stream(model, args.acc, fused=args.fused,
                           context_ms=args.stream_context_ms,
-                          crossfade_ms=args.stream_crossfade_ms)
+                          crossfade_ms=args.stream_crossfade_ms,
+                          idle_reset_s=args.stream_idle_reset_s)
               if args.stream else None)
     server = HTTPServer(("0.0.0.0", args.port),
                         make_handler(model, args.acc, fused=args.fused,

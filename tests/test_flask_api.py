@@ -108,6 +108,50 @@ def test_streaming_mode_keeps_buffer_duration_and_continuity():
         server.shutdown()
 
 
+def test_streaming_idle_reset_restarts_the_stream():
+    """A request gap longer than idle_reset_s flushes the held tail and
+    context (a paused DAW): both buffers around the gap are served as
+    fresh stream starts (head-padded by the crossfade delay), so stale
+    audio from the previous take is never blended into the new one."""
+    import time
+
+    from flask_api import make_handler, make_stream
+
+    model = FakeModel()
+    stream = make_stream(model, acc=50, fused=False, context_ms=100.0,
+                         crossfade_ms=40.0, idle_reset_s=0.05)
+    server = HTTPServer(("127.0.0.1", 0),
+                        make_handler(model, accelerate=50, stream=stream))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        sr = 8000
+        n = 1600
+        C = stream.C
+        got = []
+        for k in range(2):
+            x = (0.4 * np.sin(2 * np.pi * (220 + 40 * k)
+                              * np.arange(n) / sr)).astype(np.float32)
+            buf = io.BytesIO()
+            wavfile.write(buf, sr, (x * 32767).astype(np.int16))
+            body, ctype = _multipart(
+                {"fPitchChange": "0", "sampleRate": str(sr)}, buf.getvalue())
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/voiceChangeModel", data=body,
+                headers={"Content-Type": ctype}, method="POST")
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                _, out = wavfile.read(io.BytesIO(resp.read()))
+            got.append((x, out.astype(np.float32) / 32767.0))
+            time.sleep(0.15)  # > idle_reset_s: the stream restarts
+        for x, out in got:
+            assert len(out) == n
+            assert np.all(out[:C] == 0)  # fresh-stream head delay
+            np.testing.assert_allclose(out[C:], 0.5 * x[: n - C], atol=2e-4)
+    finally:
+        server.shutdown()
+
+
 def test_warmup_fused_compiles_every_bucket():
     """--warmup pre-compiles each fused length bucket (ceil(max_s*sr /
     bucket) silent buffers, each padded UP to its own bucket) before the
