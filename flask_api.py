@@ -62,18 +62,19 @@ def _infer_wav(model, acc, wav_bytes: bytes, f_pitch_change: float,
         from diffsvc_tpu.utils.audio_io import load_wav
 
         wav, _ = load_wav(input_wav, sr=model.hp["audio_sample_rate"])
-        now = time.time()
         idle = getattr(stream, "idle_reset_s", 0.0)
         last = getattr(stream, "last_call_t", None)
-        if idle and last is not None and now - last > idle:
+        if idle and last is not None and time.time() - last > idle:
             # the DAW paused: the held tail/context belong to a take
             # that ended — drop them instead of crossfading stale audio
             # into the new one (the restarted stream re-pays its one
             # crossfade of head delay)
             stream.flush()
-        stream.last_call_t = now
         stream.pitch = f_pitch_change
         _audio = stream(wav)
+        # stamped AFTER converting: a slow first call (cold XLA compile)
+        # must not read as an idle gap for the request right behind it
+        stream.last_call_t = time.time()
         if len(_audio) < len(wav):
             _audio = np.concatenate(
                 [np.zeros(len(wav) - len(_audio), np.float32), _audio])
