@@ -9,9 +9,11 @@ shows it beating PLMS at equal low NFE on an analytic score), so acc=50
 (21 NFE) is the like-for-like quality point.
 
 Variants (round-robin timed, same run — tunnel load drifts by the minute):
-    prod          PLMS acc=20, NSF-HiFiGAN pallas tail, int16 wire
-    prod_dpmpp    same graph, sampler=dpmpp acc=50
-    istft_dpmpp   dpmpp acc=50 + iSTFT-head vocoder (fastest stack)
+    prod_plms20     PLMS acc=20 (51 NFE), NSF-HiFiGAN pallas tail, int16 wire
+    prod_dpmpp50    same graph, sampler=dpmpp acc=50 (21 NFE)
+    prod_dpmpp100   turbo candidate: dpmpp acc=100 (11 NFE) + x0 clamp
+    istft_dpmpp50   dpmpp acc=50 + iSTFT-head vocoder
+    istft_dpmpp100  turbo + iSTFT head (fastest stack)
 
 Usage: python tools/bench_dpmpp.py [--secs 10] [--runs 8]
 """
@@ -101,6 +103,15 @@ def main():
     variants["prod_dpmpp50"] = FusedSvc(hp_dpm, params, voc,
                                         hubert_params=hub_params,
                                         hubert_cfg=hub_cfg, speedup=50)
+    # turbo candidate: 11 NFE (interval 100) — quality evidence in
+    # runs/sampler_quality (dpmpp100_clip rows); clip is a scan-body
+    # clamp with no measurable cost, so this timing stands for the
+    # clipped profile too
+    hp_turbo = dict(base, pndm_speedup=100, sampler="dpmpp",
+                    sampler_clip_x0=1.0)
+    variants["prod_dpmpp100"] = FusedSvc(hp_turbo, params, voc,
+                                         hubert_params=hub_params,
+                                         hubert_cfg=hub_cfg, speedup=100)
     hp_ist = dict(hp_dpm, vocoder="istftvocoder",
                   voc_compute_dtype="bfloat16",
                   istft_dim=512, istft_layers=8)
@@ -109,6 +120,10 @@ def main():
     variants["istft_dpmpp50"] = FusedSvc(
         hp_ist, params, SimpleNamespace(params=ih_params, cfg=icfg),
         hubert_params=hub_params, hubert_cfg=hub_cfg, speedup=50)
+    hp_ist_turbo = dict(hp_ist, pndm_speedup=100, sampler_clip_x0=1.0)
+    variants["istft_dpmpp100"] = FusedSvc(
+        hp_ist_turbo, params, SimpleNamespace(params=ih_params, cfg=icfg),
+        hubert_params=hub_params, hubert_cfg=hub_cfg, speedup=100)
 
     def _sync(out):
         np.asarray(out[0][-4:])
@@ -133,7 +148,8 @@ def main():
 
     # pipelined serving: depth sweep — deeper pipelines hide more of the
     # per-dispatch tunnel latency + output fetch, exposing the device floor
-    for name in ("prod_plms20", "prod_dpmpp50", "istft_dpmpp50"):
+    for name in ("prod_plms20", "prod_dpmpp50", "prod_dpmpp100",
+                 "istft_dpmpp50", "istft_dpmpp100"):
         f = variants[name]
         for depth in (4, 8):
             best = 1e9

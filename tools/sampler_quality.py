@@ -22,6 +22,7 @@ Usage:
 import argparse
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -44,6 +45,15 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny dims on CPU (smoke/regression)")
     ap.add_argument("--out", default=os.path.join(REPO, "runs/sampler_quality"))
+    ap.add_argument("--keep-ckpt", default=None,
+                    help="after training, copy the work dir (checkpoints + "
+                         "config) here so later sweeps can --reuse-ckpt it "
+                         "instead of retraining")
+    ap.add_argument("--reuse-ckpt", default=None,
+                    help="skip training; restore from this previously kept "
+                         "work-dir copy (dims/--n-clips/--tiny must match "
+                         "the run that produced it — the dataset is rebuilt "
+                         "deterministically from the same recipe)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -123,10 +133,18 @@ def main():
     from diffsvc_tpu.training import checkpoint as ckpt_lib
     from diffsvc_tpu.training.trainer import Trainer
 
-    log(f"| training {args.steps} steps on {jax.default_backend()} ...")
-    t0 = time.time()
-    Trainer(hp).fit()
-    log(f"| trained in {time.time()-t0:.0f}s")
+    if args.reuse_ckpt:
+        shutil.copytree(args.reuse_ckpt, hp["work_dir"], dirs_exist_ok=True)
+        log(f"| reusing checkpoint from {args.reuse_ckpt}")
+    else:
+        log(f"| training {args.steps} steps on {jax.default_backend()} ...")
+        t0 = time.time()
+        Trainer(hp).fit()
+        log(f"| trained in {time.time()-t0:.0f}s")
+        if args.keep_ckpt:
+            shutil.copytree(hp["work_dir"], args.keep_ckpt,
+                            dirs_exist_ok=True)
+            log(f"| kept checkpoint at {args.keep_ckpt}")
     state, _, gstep, _ = ckpt_lib.restore_checkpoint(hp["work_dir"])
     params = state.get("ema_params", state["params"])
 
@@ -167,7 +185,14 @@ def main():
     configs = [("plms", 20, "lambda", 0.0), ("plms", 50, "lambda", 0.0),
                ("plms", 20, "lambda", 1.0), ("dpmpp", 50, "lambda", 1.0),
                ("dpmpp", 20, "lambda", 0.0), ("dpmpp", 50, "lambda", 0.0),
-               ("dpmpp", 50, "t", 0.0)]
+               ("dpmpp", 50, "t", 0.0),
+               # low-NFE frontier for a possible "turbo" serving profile:
+               # interval 100/150/200 -> 11/8/6 NFE. plms100_clip is the
+               # like-for-like multistep baseline at 11 NFE; the unclipped
+               # dpmpp100 isolates pure solver error at that grid.
+               ("dpmpp", 100, "lambda", 1.0), ("dpmpp", 150, "lambda", 1.0),
+               ("dpmpp", 200, "lambda", 1.0), ("plms", 100, "lambda", 1.0),
+               ("dpmpp", 100, "lambda", 0.0)]
     results = {}
     k_step = int(hp.get("K_step", hp.get("timesteps", 1000)))
     for sampler, acc, grid, clip in configs:
