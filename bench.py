@@ -295,6 +295,18 @@ def main():
         hp_i16, params, voc_best, hubert_params=hub_params,
         hubert_cfg=hub_cfg, speedup=SPEEDUP)
 
+    # + int16 INPUT wire (fused_input_int16): the input upload is the
+    # same 1.8 MB the output fetch was before int16_out halved it, and
+    # the serving sources (VST buffers, HTTP posts) are PCM16 anyway —
+    # decode on device. flask defaults both wire flags on, so THIS is
+    # the production serving config from round 4 on (int16_out rides
+    # along for cross-round continuity).
+    hp_io = dict(hp_i16)
+    hp_io["fused_input_int16"] = True
+    variants["int16_io"] = FusedSvc(
+        hp_io, params, voc_best, hubert_params=hub_params,
+        hubert_cfg=hub_cfg, speedup=SPEEDUP)
+
     # beyond-reference DPM-Solver++(2M) at acc=50 (21 NFE vs PLMS acc=20's
     # 51) on the SAME production stack — the sampler step count is the
     # biggest remaining device-time knob (~18 ms of sampling at 50 NFE).
@@ -349,7 +361,8 @@ def main():
     # this run never saw a quiet window (headline spread > 1.5x), buy up to
     # 4 more round-robin rounds so the published min tracks the code, not
     # the weather (VERDICT r3 #1)
-    headline_name = ("int16_out" if "int16_out" in variants
+    headline_name = ("int16_io" if "int16_io" in variants
+                     else "int16_out" if "int16_out" in variants
                      else "bf16_packed_voc")
     extra = 0
     while (max(times[headline_name]) / min(times[headline_name]) > 1.5
@@ -379,10 +392,11 @@ def main():
     rtf_mix = rtfs["bf16_packed_voc"]
     rtf_tail = rtfs.get("bf16_pallas_tail", float("nan"))
     rtf_i16 = rtfs["int16_out"]
+    rtf_io = rtfs.get("int16_io", float("nan"))
     rtf_istft = rtfs.get("istft_int16", float("nan"))
     rtf_dpm = rtfs.get("dpmpp50_int16", float("nan"))
     fused_mix = variants["bf16_packed_voc"]
-    fused_prod = variants["int16_out"]
+    fused_prod = variants.get("int16_io", variants["int16_out"])
 
     # steady-state serving throughput: 8 dispatches in flight, sync once —
     # amortizes the per-call host->device round trip (the tunnel on this
@@ -427,10 +441,11 @@ def main():
     # behind another variant winning the run.  Per-variant minima ride
     # along as diagnostic fields; min-of-8 per variant guards against
     # tunnel-latency variance only.
-    # production = fused + pallas tail + int16 wire output (what the
-    # serving entrypoints default to on TPU); NaN-safe fallback chain
-    rtf = rtf_i16 if rtf_i16 == rtf_i16 else (
-        rtf_tail if rtf_tail == rtf_tail else rtf_mix)
+    # production = fused + pallas tail + int16 wire input AND output (what
+    # the serving entrypoints default to on TPU); NaN-safe fallback chain
+    rtf = rtf_io if rtf_io == rtf_io else (
+        rtf_i16 if rtf_i16 == rtf_i16 else (
+            rtf_tail if rtf_tail == rtf_tail else rtf_mix))
     rtf_dev = rtfs_dev.get(headline_name, float("nan"))
     spread = max(times[headline_name]) / min(times[headline_name])
     # fused-graph device-time MFU: sampling-loop matmul FLOPs over the
@@ -464,6 +479,7 @@ def main():
         "rtf_bf16_packed_voc": round(rtf_mix, 5),
         "rtf_bf16_pallas_tail": round(rtf_tail, 5) if rtf_tail == rtf_tail else None,
         "rtf_int16_out": round(rtf_i16, 5) if rtf_i16 == rtf_i16 else None,
+        "rtf_int16_io": round(rtf_io, 5) if rtf_io == rtf_io else None,
         "rtf_istft_voc": round(rtf_istft, 5) if rtf_istft == rtf_istft else None,
         "rtf_dpmpp50": round(rtf_dpm, 5) if rtf_dpm == rtf_dpm else None,
         "rtf_device_by_variant": {k: round(v, 5)

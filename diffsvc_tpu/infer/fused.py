@@ -90,6 +90,16 @@ class FusedSvc:
             return w.astype(np.float32) / 32767.0
         return w
 
+    @staticmethod
+    def to_int16(wav):
+        """Encode a float waveform to the int16 wire format
+        (fused_input_int16 mode); int16 passes through.  Inverse of
+        :meth:`to_float` on the int16 grid.  Host-side numpy."""
+        w = np.asarray(wav)
+        if w.dtype == np.int16:
+            return w
+        return np.round(np.clip(w, -1.0, 1.0) * 32767.0).astype(np.int16)
+
     def __init__(self, hp, params, vocoder, hubert_params=None,
                  hubert_cfg=None, speedup: int = 20,
                  compute_dtype: Optional[str] = None):
@@ -149,6 +159,16 @@ class FusedSvc:
         # HLO stays small and weights live on-device between calls
         def fused(diff_params, hub_params, voc_params, wav44, rng,
                   key_shift, spk):
+            # int16 INPUT wire (fused_input_int16 / an int16 caller array):
+            # the host->device copy of the input waveform is as large as
+            # the output fetch fused_output_int16 already halved — and the
+            # serving sources (VST buffers, HTTP wav posts, even the
+            # reference's own modular path, which round-trips through an
+            # int16 wav in memory) are PCM16 to begin with, so decoding on
+            # device loses nothing. Dtype is static under jit: a float
+            # caller compiles the exact old graph.
+            if wav44.dtype == jnp.int16:
+                wav44 = wav44.astype(jnp.float32) * (1.0 / 32767.0)
             # --- 44.1k -> 16k resample for HuBERT, in-graph (polyphase
             # gather+dot; removes the last host-side DSP stage) ---
             wav16 = resample_poly_device(wav44, sr, 16000)
@@ -322,6 +342,11 @@ class FusedSvc:
                  add_noise_step: int = 500):
         hp = self.hp
         bucket = int(hp.get("fused_bucket_samples", 0))
+        wav44 = np.asarray(wav44)
+        if wav44.dtype != np.int16:
+            wav44 = wav44.astype(np.float32, copy=False)
+            if bool(hp.get("fused_input_int16", False)):
+                wav44 = self.to_int16(wav44)
         true_n44 = len(wav44)
         n44 = true_n44
         if bucket:
@@ -331,7 +356,7 @@ class FusedSvc:
         wav_o, f0_o, mel_o = self._get_fn(
             n44, use_gt_mel=use_gt_mel, add_noise_step=add_noise_step)(
             self.params, self.hub_params, self._voc_run_params(),
-            jnp.asarray(wav44, jnp.float32), rng,
+            jnp.asarray(wav44), rng,
             jnp.float32(key_shift), jnp.int32(spk_id))
         if n44 != true_n44:
             # trim the vocoded bucket padding back to the true input length
@@ -358,9 +383,12 @@ class FusedSvc:
         bucket = int(hp.get("fused_bucket_samples", 0))
         if bucket:
             n44 = -(-n44 // bucket) * bucket
-        stacked = np.zeros((n, n44), np.float32)
+        int16_wire = (bool(hp.get("fused_input_int16", False))
+                      or any(np.asarray(w).dtype == np.int16 for w in wavs))
+        stacked = np.zeros((n, n44), np.int16 if int16_wire else np.float32)
         for i, w in enumerate(wavs):
-            stacked[i, : len(w)] = w
+            stacked[i, : len(w)] = self.to_int16(w) if int16_wire \
+                else np.asarray(w, np.float32)
         if key_shifts is None:
             key_shifts = 0
         if np.ndim(key_shifts) == 0:
@@ -429,9 +457,12 @@ class FusedSvc:
         bucket = int(self.hp.get("fused_bucket_samples", 0))
         if bucket:
             n44 = -(-n44 // bucket) * bucket
-        stacked = np.zeros((n, n44), np.float32)
+        int16_wire = (bool(self.hp.get("fused_input_int16", False))
+                      or any(np.asarray(w).dtype == np.int16 for w in wavs))
+        stacked = np.zeros((n, n44), np.int16 if int16_wire else np.float32)
         for i, w in enumerate(wavs):
-            stacked[i, : len(w)] = w
+            stacked[i, : len(w)] = self.to_int16(w) if int16_wire \
+                else np.asarray(w, np.float32)
         if key_shifts is None:
             key_shifts = 0
         if np.ndim(key_shifts) == 0:

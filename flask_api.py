@@ -34,6 +34,10 @@ def _convert_floats(model, acc, wav: np.ndarray, f_pitch_change: float,
         model.hp.setdefault("fused_bucket_samples",
                             model.hp["hop_size"] * 256)
         model.hp.setdefault("fused_output_int16", True)
+        # the posted audio is PCM16 to begin with, so the int16 input
+        # wire (decode on device) is lossless here and halves the
+        # host->device copy exactly like the output side
+        model.hp.setdefault("fused_input_int16", True)
         audio, _f0, _mel = model.infer_fused(wav, key=int(f_pitch_change),
                                              acc=acc)
         audio = FusedSvc.to_float(audio)
@@ -197,6 +201,7 @@ def warmup_fused(model, acc: int, max_seconds: float) -> int:
     sr = model.hp["audio_sample_rate"]
     model.hp.setdefault("fused_bucket_samples", model.hp["hop_size"] * 256)
     model.hp.setdefault("fused_output_int16", True)
+    model.hp.setdefault("fused_input_int16", True)
     bucket = int(model.hp["fused_bucket_samples"])
     if bucket <= 0:
         # bucketing explicitly disabled (fused_bucket_samples: 0 is legal —

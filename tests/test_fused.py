@@ -97,6 +97,42 @@ def test_fused_bf16_close_to_fp32(fused_model):
     assert np.abs(m16 - m32).max() < 0.5, np.abs(m16 - m32).max()
 
 
+def test_fused_int16_input_wire(fused_model):
+    """fused_input_int16 (int16 input wire): a float input that already
+    sits on the int16 grid must produce EXACTLY the float-graph result
+    (decode is x * 1/32767, the inverse of to_int16 on that grid), and
+    passing the int16 array directly is identical to the flag path."""
+    t = np.arange(8000) / 8000
+    wav_i16 = FusedSvc.to_int16((0.4 * np.sin(2 * np.pi * 220 * t))
+                                .astype(np.float32))
+    wav = FusedSvc.to_float(wav_i16)  # float32 exactly on the int16 grid
+
+    ref_wav, ref_f0, ref_mel = fused_model(wav)
+
+    hp2 = fused_model.hp.copy()
+    hp2["fused_input_int16"] = True
+    f_wire = FusedSvc(hp2, fused_model.params, fused_model.vocoder,
+                      hubert_params=fused_model.hub_params,
+                      hubert_cfg=fused_model.hub_cfg, speedup=5)
+    out_flag = f_wire(wav)          # host-side quantize -> int16 upload
+    out_direct = f_wire(wav_i16)    # caller already holds PCM16
+    for a, b in zip(out_flag, out_direct):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(out_flag[0]),
+                                  np.asarray(ref_wav))
+    np.testing.assert_array_equal(np.asarray(out_flag[2]),
+                                  np.asarray(ref_mel))
+
+    # batched path uses the same wire (vs the float batched graph — the
+    # batched rng split differs from the single-call rng, so compare
+    # like-for-like)
+    chunks_f = [wav, wav[: len(wav) // 2]]
+    outs_ref = fused_model.batched(chunks_f)
+    outs = f_wire.batched([wav_i16, wav_i16[: len(wav_i16) // 2]])
+    for (a, _, _), (b, _, _) in zip(outs, outs_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_key_shift(fused_model):
     t = np.arange(8000) / 8000
     wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
