@@ -71,6 +71,7 @@ def main():
 
     log(f"| device: {jax.devices()[0]}")
     scratch = tempfile.mkdtemp(prefix="sampler_quality_")
+    log(f"| scratch: {scratch}")
     os.makedirs(args.out, exist_ok=True)
 
     if args.tiny:
@@ -108,7 +109,10 @@ def main():
         speaker_id="demo", binarizer_cls="preprocessing.SVCpre.SVCBinarizer",
         task_cls="training.task.SVC_task.SVCTask",
         max_sentences=8, max_tokens=100000,
-        max_updates=args.steps, val_check_interval=max(args.steps, 100),
+        # checkpoint every <=1000 steps (not only at the end): a tunnel
+        # outage mid-run leaves a resumable work dir in the scratch
+        max_updates=args.steps,
+        val_check_interval=max(min(args.steps, 1000), 100),
         num_sanity_val_steps=0, num_valid_plots=0, num_ckpt_keep=2,
         lr=8e-4, scheduler="step_lr", decay_steps=50000,
         optimizer_adam_beta1=0.9, optimizer_adam_beta2=0.98, weight_decay=0,
