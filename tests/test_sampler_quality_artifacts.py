@@ -11,6 +11,9 @@ ground truth.  The committed artifacts are:
   - summary_overfit_3000steps_11clips.json: a deliberately ill-conditioned
     score (3000 steps on 11 clips at 384x20) whose probability-flow ODE
     leaves the data manifold — the stress case for the clamp.
+  - summary_5000steps_64clips.json: the best-conditioned score (fine-grid
+    cross-agreement 0.10/bin) with the low-NFE frontier rows that justify
+    configs/config_44k_turbo.yaml (11 NFE).
 
 These tests assert the decision-relevant orderings that
 configs/config_44k_fast.yaml is built on, against every artifact present:
@@ -63,13 +66,31 @@ def test_artifact_orderings(path):
         assert (samplers["dpmpp50_clip"]["gt_err_l1"]
                 <= 1.15 * samplers["plms20_clip"]["gt_err_l1"]), path
 
-    # 3. the clamp bounds every clipped trajectory to ~the trained spec
-    #    range (denorm of x0 in [-1,1]; per-bin spec stats give a little
-    #    slack) even when the unclipped range blows up 50-100x
+    # 3. the clamp bounds every clipped DPM++ trajectory to ~the trained
+    #    spec range (denorm of x0 in [-1,1]; per-bin spec stats give a
+    #    little slack) even when the unclipped range blows up 50-100x.
+    #    PLMS rows are excluded ON PURPOSE: its linear-multistep update
+    #    extrapolates in epsilon space BETWEEN the clamped x0 evaluations,
+    #    so at aggressive grids the integrate-out can still overshoot the
+    #    clamp (measured: plms100_clip range [-11.1, 6.3] at 11 NFE where
+    #    dpmpp100_clip stays [-5.0, 0.9]) — which is exactly why the fast/
+    #    turbo profiles ship dpmpp, not plms.
     for name, r in samplers.items():
-        if name.endswith("_clip"):
+        if name.endswith("_clip") and name.startswith("dpmpp"):
             lo, hi = r["mel_range"]
             assert -8.0 <= lo <= hi <= 3.0, (name, r["mel_range"], path)
+
+    # 4. turbo frontier: dpmpp at 11 NFE (interval 100) + clamp matches
+    #    the 21-NFE fast profile's ground-truth distance within 5%, and
+    #    beats clipped PLMS at the same 11 NFE (the reason the low-NFE
+    #    profile is dpmpp-shaped)
+    if "dpmpp100_clip" in samplers:
+        if "dpmpp50_clip" in samplers:
+            assert (samplers["dpmpp100_clip"]["gt_err_l1"]
+                    <= 1.05 * samplers["dpmpp50_clip"]["gt_err_l1"]), path
+        if "plms100_clip" in samplers:
+            assert (samplers["dpmpp100_clip"]["gt_err_l1"]
+                    <= samplers["plms100_clip"]["gt_err_l1"]), path
 
 
 def test_artifact_set_present():

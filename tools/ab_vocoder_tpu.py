@@ -31,12 +31,53 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def make_real_clips(path, sr, dur, hop, nmel, nfft, win, fmin, fmax):
+    """Real-recording clips in the make_clips format: load a vocal wav,
+    resample to the profile rate, cut into non-overlapping ``dur``-second
+    windows, mel via the canonical NSF wav2spec and f0 via the in-repo AC
+    tracker (the same features the binarizer would produce)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy.io import wavfile
+
+    from diffsvc_tpu.config import HParams
+    from diffsvc_tpu.ops import mel as mel_ops
+    from diffsvc_tpu.ops.f0_ac import get_pitch_ac
+    from diffsvc_tpu.utils.audio_io import resample
+
+    sr0, w = wavfile.read(path)
+    if w.ndim > 1:
+        w = w.mean(-1)
+    if np.issubdtype(w.dtype, np.integer):
+        w = w.astype(np.float32) / float(np.iinfo(w.dtype).max + 1)
+    if sr0 != sr:
+        w = resample(w.astype(np.float32), sr0, sr)
+    hp_f0 = HParams(audio_sample_rate=sr, hop_size=hop, f0_min=40.0,
+                    f0_max=1100.0, f0_bin=256, wav_bucket_frames=1)
+    n = int(sr * dur)
+    clips = []
+    for s in range(0, len(w) - n + 1, n):
+        wav = np.asarray(w[s:s + n], np.float32)
+        mel = np.asarray(mel_ops.wav2mel_nsf(
+            jnp.asarray(wav), sr=sr, n_fft=nfft, hop=hop, win_length=win,
+            n_mels=nmel, fmin=fmin, fmax=fmax))
+        f0, _ = get_pitch_ac(wav, mel.shape[0], hp_f0)
+        clips.append({"wav": wav, "mel": mel,
+                      "f0": np.asarray(f0, np.float32)})
+    return clips
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--segment-frames", type=int, default=32)
     ap.add_argument("--n-clips", type=int, default=16)
+    ap.add_argument("--real-wav", default=None,
+                    help="train/score on a REAL vocal recording instead of "
+                         "synthetic singing: cut into 2 s windows (first "
+                         "window held out); closes the data-realism axis "
+                         "of the synthetic A/B")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu-smoke", action="store_true")
     args = ap.parse_args()
@@ -80,8 +121,15 @@ def main():
         istft_dims = dict(istft_dim=512, istft_layers=8)
         nsf_dims = {}  # openvpi production defaults in VocoderTask
 
-    clips = make_clips(sr, args.n_clips, dur, hop, nmel, nfft, win,
-                       40.0, 16000.0 if sr > 16000 else 3500.0)
+    if args.real_wav:
+        clips = make_real_clips(args.real_wav, sr, dur, hop, nmel, nfft,
+                                win, 40.0, 16000.0 if sr > 16000 else 3500.0)
+        # --n-clips caps real windows too (the cpu smoke can't afford 20+)
+        clips = clips[: max(args.n_clips, 2)]
+        log(f"real recording: {args.real_wav} -> {len(clips)} clips")
+    else:
+        clips = make_clips(sr, args.n_clips, dur, hop, nmel, nfft, win,
+                           40.0, 16000.0 if sr > 16000 else 3500.0)
     held_out, train_clips = clips[0], clips[1:]
     log(f"clips: {len(train_clips)} train + 1 held-out, "
         f"{held_out['mel'].shape[0]} frames each")
@@ -178,6 +226,8 @@ def main():
                  "clips": args.n_clips, **istft_dims},
         "recipe": "shared VocoderTask GAN (MPD+MSD + FM + 45*mel-L1), "
                   "same clips/seeds/crop schedule",
+        "data": (f"real:{args.real_wav}" if args.real_wav
+                 else "synthetic singing (make_clips)"),
         "results": results,
     }
     with open(f"{args.out}/summary.json", "w") as f:
