@@ -18,6 +18,28 @@ def test_base_config_chain(tmp_path):
     assert cfg["c"] == "child"
 
 
+def test_shipped_serving_profiles_resolve():
+    """The shipped fast/turbo profiles must resolve through the config
+    chain to the documented sampler levers (they inherit everything else
+    from config_44k.yaml, so a chain regression silently changes what
+    users serve)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fast = load_config_chain(os.path.join(repo, "configs/config_44k_fast.yaml"))
+    assert (fast["sampler"], fast["pndm_speedup"],
+            fast["sampler_clip_x0"], fast["dpmpp_grid"]) == \
+        ("dpmpp", 50, 1.0, "lambda")
+    turbo = load_config_chain(
+        os.path.join(repo, "configs/config_44k_turbo.yaml"))
+    assert (turbo["sampler"], turbo["pndm_speedup"],
+            turbo["sampler_clip_x0"]) == ("dpmpp", 100, 1.0)
+    # both stay reference-checkpoint compatible (the model geometry is
+    # config_44k's)
+    for prof in (fast, turbo):
+        assert prof["residual_layers"] == 20
+        assert prof["residual_channels"] == 384
+        assert prof["audio_num_mel_bins"] == 128
+
+
 def test_relative_base_config(tmp_path):
     (tmp_path / "base.yaml").write_text(yaml.safe_dump({"a": 10}))
     child = tmp_path / "child.yaml"
