@@ -419,19 +419,24 @@ def main():
 
     # batched serving: N chunks in ONE vmapped dispatch — at batch 1 the
     # chip is overhead/latency bound (MFU ~3%), so batching slicer chunks
-    # recovers the throughput headroom
-    outs = fused_mix.batched([wav] * 4)
+    # recovers the throughput headroom. Uses the production (int16 wire)
+    # config since late r4: at batch 4 the wire moves 4x(in+out) = 14 MB
+    # as f32, so the wire format dominates this number on the tunnel
+    # (protocol note in BASELINE.md; the vmapped graph keeps packed
+    # convs but not the Pallas tail).
+    outs = fused_prod.batched([wav] * 4)
     for o in outs:
         np.asarray(o[0][-4:])
     bt = []
     for i in range(3):
         t0 = time.time()
-        outs = fused_mix.batched([wav] * 4, rng=jax.random.PRNGKey(50 + i))
+        outs = fused_prod.batched([wav] * 4, rng=jax.random.PRNGKey(50 + i))
         for o in outs:
             np.asarray(o[0][-4:])
         bt.append(time.time() - t0)
     rtf_batched = min(bt) / (4 * SECS)
-    log(f"| batched serving RTF (batch 4, bf16+packed-voc, one dispatch): {rtf_batched:.4f}"
+    log(f"| batched serving RTF (batch 4, production int16 wire, one "
+        f"dispatch): {rtf_batched:.4f}"
         f" (runs: " + " ".join(f"{t:.3f}" for t in bt) + ")")
 
     # headline = THE production serving config (what setup_serving picks on
