@@ -318,6 +318,17 @@ def main():
         hp_dpm, params, voc_best, hubert_params=hub_params,
         hubert_cfg=hub_cfg, speedup=50)
 
+    # the shipped TURBO profile (configs/config_44k_turbo.yaml): dpmpp
+    # acc=100 (11 NFE) + x0 clamp, quality-matched to the fast profile on
+    # a production-dims score (BASELINE.md turbo table). Ride-along so the
+    # round record carries the turbo number measured in the same window.
+    hp_turbo = dict(hp_dpm)
+    hp_turbo["pndm_speedup"] = 100
+    hp_turbo["sampler_clip_x0"] = 1.0
+    variants["turbo11_int16"] = FusedSvc(
+        hp_turbo, params, voc_best, hubert_params=hub_params,
+        hubert_cfg=hub_cfg, speedup=100)
+
     # beyond-reference iSTFT-head vocoder in the same fused+int16 config
     # (BASELINE.md: frame-rate backbone + inverse-rDFT, no MXU-pass-bound
     # tail; random weights time identically to trained ones). Ride-along
@@ -395,6 +406,7 @@ def main():
     rtf_io = rtfs.get("int16_io", float("nan"))
     rtf_istft = rtfs.get("istft_int16", float("nan"))
     rtf_dpm = rtfs.get("dpmpp50_int16", float("nan"))
+    rtf_turbo = rtfs.get("turbo11_int16", float("nan"))
     fused_mix = variants["bf16_packed_voc"]
     fused_prod = variants.get("int16_io", variants["int16_out"])
 
@@ -487,6 +499,7 @@ def main():
         "rtf_int16_io": round(rtf_io, 5) if rtf_io == rtf_io else None,
         "rtf_istft_voc": round(rtf_istft, 5) if rtf_istft == rtf_istft else None,
         "rtf_dpmpp50": round(rtf_dpm, 5) if rtf_dpm == rtf_dpm else None,
+        "rtf_turbo11": round(rtf_turbo, 5) if rtf_turbo == rtf_turbo else None,
         "rtf_device_by_variant": {k: round(v, 5)
                                   for k, v in sorted(rtfs_dev.items())},
         "rtf_pipelined": round(rtf_tp, 5),
