@@ -311,7 +311,10 @@ def main():
     # 51) on the SAME production stack — the sampler step count is the
     # biggest remaining device-time knob (~18 ms of sampling at 50 NFE).
     # Ride-along diagnostic; headline stays the reference protocol (acc=20).
-    hp_dpm = dict(hp_i16)
+    # Built on hp_io (full int16 wire) so the sampler ride-alongs are
+    # apples-to-apples with the int16_io headline — the 2026-08-19 record
+    # had them paying the f32 upload the headline no longer pays.
+    hp_dpm = dict(hp_io)
     hp_dpm["sampler"] = "dpmpp"
     hp_dpm["pndm_speedup"] = 50
     variants["dpmpp50_int16"] = FusedSvc(
@@ -337,7 +340,7 @@ def main():
     try:
         from diffsvc_tpu.vocoders import istft_head as ih
 
-        hp_istft = dict(hp_i16)
+        hp_istft = dict(hp_io)
         hp_istft["vocoder"] = "istftvocoder"
         hp_istft["voc_compute_dtype"] = "bfloat16"
         hp_istft["istft_dim"] = 512
