@@ -23,25 +23,11 @@ def log(*a):
 
 
 def make_rtt_probe():
-    """No-op dispatch round-trip timer: one tiny jitted op + a 4-float
-    fetch — the minimum host->device->host round trip.  On the tunneled
-    bench host this is ~30 ms and drifts 1.5-2x with tunnel load
-    (BASELINE.md r2 protocol); measuring it IN-RUN is what makes the
-    published RTFs interpretable without knowing the tunnel weather
-    (VERDICT r3 weak #1)."""
-    import jax
-    import jax.numpy as jnp
+    """No-op dispatch round-trip timer (shared protocol — see
+    diffsvc_tpu/utils/rtt.py)."""
+    from diffsvc_tpu.utils.rtt import make_rtt_probe as _mk
 
-    tiny = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros((4,), jnp.float32)
-    np.asarray(tiny(x))  # compile outside timing
-
-    def probe():
-        t0 = time.time()
-        np.asarray(tiny(x))
-        return time.time() - t0
-
-    return probe
+    return _mk()
 
 
 def main():

@@ -105,15 +105,19 @@ class FusedSvc:
                  compute_dtype: Optional[str] = None):
         from ..models.diffusion import GaussianDiffusion
 
-        self.hp = hp
-        self.model = GaussianDiffusion(hp)
+        # snapshot hp: a FusedSvc traces lazily, so sharing the caller's
+        # dict by reference would let a later mutation (another FusedSvc's
+        # compute_dtype override, a modular Svc flag flip) silently change
+        # what THIS instance compiles
+        self.hp = type(hp)(hp)
+        if compute_dtype:
+            self.hp["diff_compute_dtype"] = compute_dtype
+        self.model = GaussianDiffusion(self.hp)
         self.params = params
         self.vocoder = vocoder  # wrapper with .params/.cfg
         self.hub_params = hubert_params
         self.hub_cfg = hubert_cfg or hubert_model.HubertConfig()
         self.speedup = int(speedup)
-        if compute_dtype:
-            hp["diff_compute_dtype"] = compute_dtype
         self._fns = {}
 
     # ------------------------------------------------------------------

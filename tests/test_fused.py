@@ -358,3 +358,26 @@ def test_fused_gt_mel_shallow_diffusion(fused_model):
     assert abs(np.median(v[v > 0]) - 220.0) < 5
     # distinct ladder lengths => distinct compiled graphs, bounded cache
     assert ("gt_mel", len(wav), 1) in fused_model._fns
+
+
+def test_fused_hp_snapshot_isolated(fused_model):
+    """FusedSvc must snapshot hp at construction: mutating the caller's
+    dict afterwards (or constructing a sibling with a compute_dtype
+    override) must not change what a lazily-traced instance compiles."""
+    hp = HParams(dict(fused_model.hp))
+    voc = fused_model.vocoder
+    a = FusedSvc(hp, fused_model.params, voc,
+                 hubert_params=fused_model.hub_params,
+                 hubert_cfg=fused_model.hub_cfg, speedup=5)
+    # sibling with an override must not leak into the shared dict...
+    FusedSvc(hp, fused_model.params, voc,
+             hubert_params=fused_model.hub_params,
+             hubert_cfg=fused_model.hub_cfg, speedup=5,
+             compute_dtype="bfloat16")
+    assert "diff_compute_dtype" not in hp or \
+        hp.get("diff_compute_dtype") != "bfloat16"
+    # ...and direct caller mutation must not reach the snapshot
+    hp["fused_output_int16"] = True
+    assert not a.hp.get("fused_output_int16", False)
+    # the snapshot preserves the hp type (HParams attribute access)
+    assert type(a.hp) is type(hp)

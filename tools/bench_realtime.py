@@ -73,7 +73,6 @@ def main():
 
     from diffsvc_tpu.utils.compile_cache import enable as _cc
     _cc()
-    import jax.numpy as jnp  # noqa: F401
     import numpy as np
 
     from types import SimpleNamespace
@@ -102,12 +101,15 @@ def main():
         fused_bucket_samples=BUCKET,
         fused_output_int16=True,   # the wire format (flask default)
         diff_compute_dtype="bfloat16", hubert_compute_dtype="bfloat16")
+    # profile levers: "fast" changes the compiled sampler via hp; "gtmel"
+    # (shallow diffusion) is selected PER CALL — FusedSvc only honors the
+    # use_gt_mel call kwarg (fused.py _get_fn), hp keys would be dead
+    call_kw = {}
     if args.profile == "fast":
         hp["sampler"] = "dpmpp"
         hp["sampler_clip_x0"] = 1.0
     elif args.profile == "gtmel":
-        hp["use_gt_mel"] = True
-        hp["add_noise_step"] = 500
+        call_kw = dict(use_gt_mel=True, add_noise_step=500)
 
     model = GaussianDiffusion(hp)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -142,18 +144,12 @@ def main():
     def _sync(out):
         np.asarray(out[0][-4:])
 
-    # no-op dispatch RTT probe (bench.py r4 protocol): one tiny jitted op
-    # + a 4-float fetch, timed alongside every latency sample
-    tiny = jax.jit(lambda x: x + 1.0)
-    tiny_x = jnp.zeros((4,), jnp.float32)
-    np.asarray(tiny(tiny_x))
+    # no-op dispatch RTT probe (the SAME protocol object bench.py uses),
+    # timed alongside every latency sample
+    from diffsvc_tpu.utils.rtt import make_rtt_probe, median_rtt
 
-    def probe():
-        t0 = time.time()
-        np.asarray(tiny(tiny_x))
-        return time.time() - t0
-
-    rtt0 = sorted(probe() for _ in range(5))[2]
+    probe = make_rtt_probe()
+    rtt0 = median_rtt(probe)
     log(f"| tunnel no-op RTT (median of 5): {rtt0*1e3:.1f} ms")
 
     if args.stream:
@@ -172,7 +168,7 @@ def main():
             def convert(w):
                 kiter[0] += 1
                 audio, _f0, _mel = fused(
-                    w, rng=jax.random.PRNGKey(kiter[0]))
+                    w, rng=jax.random.PRNGKey(kiter[0]), **call_kw)
                 out = FusedSvc.to_float(np.asarray(audio))[: len(w)]
                 if len(out) < len(w):
                     out = np.pad(out, (0, len(w) - len(out)))
@@ -193,14 +189,14 @@ def main():
                 lat.append(time.time() - t0)
         else:
             t0 = time.time()
-            _sync(fused(wav))
+            _sync(fused(wav, **call_kw))
             cold = time.time() - t0
             lat, rtts = [], []
             for i in range(args.runs):
                 rtts.append(probe())
                 t0 = time.time()
                 _sync(fused(make_buf(dur, seed=i),
-                            rng=jax.random.PRNGKey(i)))
+                            rng=jax.random.PRNGKey(i), **call_kw))
                 lat.append(time.time() - t0)
         lat = np.array(lat)
         rtts = np.array(rtts)
@@ -226,9 +222,9 @@ def main():
             for i in range(args.runs // 2):
                 t0 = time.time()
                 o1 = fused(make_buf(dur, seed=i),
-                           rng=jax.random.PRNGKey(50 + i))
+                           rng=jax.random.PRNGKey(50 + i), **call_kw)
                 o2 = fused(make_buf(dur, seed=-i),
-                           rng=jax.random.PRNGKey(90 + i))
+                           rng=jax.random.PRNGKey(90 + i), **call_kw)
                 _sync(o1)
                 _sync(o2)
                 pipe.append((time.time() - t0) / 2)
@@ -244,7 +240,11 @@ def main():
             + f"headroom {row['rt_headroom']}x/"
             f"{row['rt_headroom_stall_filtered']}x")
 
-    n_buckets = len([k for k in fused._fns if not isinstance(k, tuple)])
+    # distinct compiled LENGTHS: plain keys are ints, shallow-diffusion
+    # programs are keyed ('gt_mel', n44, step) (fused.py _get_fn)
+    n_buckets = len({k if not isinstance(k, tuple) else k[1]
+                     for k in fused._fns
+                     if not isinstance(k, tuple) or k[0] == "gt_mel"})
     log(f"| compiled length buckets: {n_buckets} "
         f"(bucket = {BUCKET} samples = {BUCKET/SR:.3f}s)")
     rec = {"metric": "realtime_buffer_latency",
