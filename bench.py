@@ -223,11 +223,9 @@ def main():
 
     hp["vocoder"] = "nsf_hifigan"
     voc = SimpleNamespace(params=voc_params, cfg=voc_cfg)
-    # FusedSvc keeps hp by REFERENCE and reads the *_compute_dtype knobs
-    # lazily at first-call trace time, so the fp32 variant must own a
-    # snapshot taken BEFORE the bf16 mutations below — otherwise it traces
-    # a second bf16 graph and the "fp32" row is mislabeled.
-    fused = FusedSvc(dict(hp), params, voc, hubert_params=hub_params,
+    # FusedSvc snapshots hp at construction, so the fp32 variant is
+    # isolated from the bf16 mutations below even though tracing is lazy
+    fused = FusedSvc(hp, params, voc, hubert_params=hub_params,
                      hubert_cfg=hub_cfg, speedup=SPEEDUP)
     def _sync(out):
         # block by FETCHING a few samples — on the tunneled device,
