@@ -35,6 +35,8 @@ class SVCTask:
         self.tx = self._build_optimizer()
         self._train_step = None
         self._val_step = None
+        self._resident = None
+        self._resident_steps = {}
 
     # ------------------------------------------------------------------
     def _build_optimizer(self):
@@ -141,6 +143,7 @@ class SVCTask:
             }
             return new_state, metrics
 
+        self._raw_step = train_step
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -248,3 +251,267 @@ class SVCTask:
         if self.hp.get("use_spk_id") and "spk_ids" in batch:
             jb["spk_embed"] = batch["spk_ids"]
         return jb
+
+    def put_batch(self, batch: Dict) -> Dict:
+        """Start the host->device transfer of a batch NOW (async), placed
+        exactly where the jitted step's ``in_shardings`` expect it, so the
+        upload overlaps device compute instead of serializing with the next
+        dispatch. Called from the Trainer's prefetch thread; on the
+        tunneled TPU the per-step batch upload (~MBs at tunnel bandwidth)
+        otherwise sits on the critical path of every step. Single-process
+        only (multi-host assembles global arrays in ``train_step``)."""
+        jb = self.prepare_batch(batch)
+        if self.mesh is not None:
+            spec = self.batch_shardings()
+            if "sample_mask" in spec and "sample_mask" not in jb:
+                import numpy as np
+
+                jb["sample_mask"] = np.ones((jb["mels"].shape[0],), np.float32)
+            put = {k: jax.device_put(v, spec[k]) for k, v in jb.items()
+                   if k in spec}
+        else:
+            put = {k: jax.device_put(v) for k, v in jb.items()}
+        out = dict(batch)
+        out.update(put)
+        return out
+
+    # ------------------------------------------------------------------
+    # Device-resident dataset mode (``resident_dataset: true``): the whole
+    # binarized split lives in HBM (features concatenated along time,
+    # replicated over the mesh) and each step ships only per-sample
+    # offsets/lengths — a few dozen BYTES — while the jitted step gathers
+    # and zero-masks the batch on device, reproducing the host collate
+    # (features.processed_input2batch) bit-for-bit. This removes the
+    # MB-scale per-step batch upload, which dominates the loop wherever
+    # host->device transfers serialize with dispatches (the tunneled chip
+    # runs ~300 ms/step at small batches on the host pipeline,
+    # runs/train_loop/). Single-process only; validation keeps the host
+    # path (it runs rarely and wants full-length utterances).
+
+    def build_resident(self, dataset, pad_multiple: int = 128) -> int:
+        """Upload every training sample's features to device once.
+        Returns the resident size in bytes (for logging/gating)."""
+        import numpy as np
+
+        mels, hubs, m2ph, energy, f0, uv, spk = [], [], [], [], [], [], []
+        for i in range(len(dataset)):
+            s = dataset[i]
+            if s["mel2ph"] is None:
+                raise ValueError("resident_dataset requires alignment "
+                                 "(mel2ph) in the binarized data")
+            mels.append(np.asarray(s["mel"], np.float32))
+            hubs.append(np.asarray(s["hubert"], np.float32))
+            m2ph.append(np.asarray(s["mel2ph"], np.int32))
+            energy.append(np.asarray(s["energy"], np.float32))
+            f0.append(np.asarray(s["f0"], np.float32))
+            uv.append(np.asarray(s["uv"], np.float32))
+            spk.append(int(s.get("spk_id", 0)))
+        mel_len = np.array([m.shape[0] for m in mels], np.int32)
+        hub_len = np.array([h.shape[0] for h in hubs], np.int32)
+
+        def rnd(n):
+            return -(-int(n) // pad_multiple) * pad_multiple
+
+        # tail padding >= the largest bucket so dynamic_slice never clamps
+        # (a clamped start would read a neighbor's rows before the mask)
+        max_t, max_u = rnd(mel_len.max()), rnd(hub_len.max())
+
+        def cat(xs, tail):
+            flat = np.concatenate(xs, 0)
+            pad = [(0, tail)] + [(0, 0)] * (flat.ndim - 1)
+            return np.pad(flat, pad)
+
+        flats = {
+            "mel": cat(mels, max_t), "hubert": cat(hubs, max_u),
+            "mel2ph": cat(m2ph, max_t), "energy": cat(energy, max_t),
+            "f0": cat(f0, max_t), "uv": cat(uv, max_t),
+        }
+        nbytes = sum(int(v.nbytes) for v in flats.values())
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            flats = {k: jax.device_put(v, repl) for k, v in flats.items()}
+        else:
+            flats = {k: jax.device_put(v) for k, v in flats.items()}
+        off = lambda lens: np.concatenate(
+            [[0], np.cumsum(lens)[:-1]]).astype(np.int32)
+        self._resident = dict(
+            flats=flats, mel_off=off(mel_len), mel_len=mel_len,
+            hub_off=off(hub_len), hub_len=hub_len,
+            spk=np.array(spk, np.int32), pad_multiple=int(pad_multiple))
+        self._resident_steps = {}
+        return nbytes
+
+    # packed meta columns: one [B, 5] int32 array per step — a SINGLE
+    # host->device transfer. On the tunneled chip every transfer is a
+    # full round trip (~30 ms) regardless of size, so the per-step wire
+    # must be one array, not five (runs/train_loop/: 5 tiny arrays cost
+    # the same ~264 ms/step as the full host batch).
+    _META_COLS = ("mel_off", "mel_len", "hub_off", "hub_len", "spk")
+
+    def _resident_gather(self, flats, meta, t_mel: int, t_hub: int) -> Dict:
+        """[flat arrays] + packed [B,5] meta -> the exact collated batch:
+        per-sample static-size dynamic_slice (vmap -> one gather), rows at
+        t >= len zeroed like collate_1d/2d's pad_value. sample_mask is
+        derived on device: real samples have mel_len >= 1, batch-axis pad
+        rows have mel_len == 0."""
+        from jax import lax
+
+        def sl2(flat, T):
+            def one(o, n):
+                x = lax.dynamic_slice(flat, (o, 0), (T, flat.shape[1]))
+                return jnp.where(jnp.arange(T)[:, None] < n, x, 0)
+
+            return jax.vmap(one)
+
+        def sl1(flat, T):
+            def one(o, n):
+                x = lax.dynamic_slice(flat, (o,), (T,))
+                return jnp.where(jnp.arange(T) < n, x, 0)
+
+            return jax.vmap(one)
+
+        mo, ml = meta[:, 0], meta[:, 1]
+        jb = {
+            "mels": sl2(flats["mel"], t_mel)(mo, ml),
+            "hubert": sl2(flats["hubert"], t_hub)(meta[:, 2], meta[:, 3]),
+            "mel2ph": sl1(flats["mel2ph"], t_mel)(mo, ml),
+            "energy": sl1(flats["energy"], t_mel)(mo, ml),
+            "f0": sl1(flats["f0"], t_mel)(mo, ml),
+            "uv": sl1(flats["uv"], t_mel)(mo, ml),
+            "sample_mask": (ml > 0).astype(jnp.float32),
+        }
+        if self.hp.get("use_spk_id"):
+            jb["spk_embed"] = meta[:, 4]
+        return jb
+
+    def _make_resident_step(self, t_mel: int, t_hub: int):
+        if self._train_step is None:
+            self._train_step, self._batch_keys = self._make_train_step()
+        raw = self._raw_step
+        keys = self._batch_keys
+
+        def step(state, flats, meta, rng):
+            jb = self._resident_gather(flats, meta, t_mel, t_hub)
+            if keys is not None:
+                jb = {k: jb[k] for k in keys}
+                # pin the gathered batch to the host path's in_shardings so
+                # the step subgraph compiles identically (parity + the same
+                # seq-axis halo behavior)
+                jb = jax.lax.with_sharding_constraint(jb, self._batch_spec)
+            return raw(state, jb, rng)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data", None))
+            flats_sh = {k: repl for k in self._resident["flats"]}
+            return jax.jit(step, in_shardings=(repl, flats_sh, data, repl),
+                           out_shardings=(repl, repl), donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step_resident(self, state, idxs, rng):
+        """One training step from sample indices (host wire: ~6 int32/f32
+        values per sample). Pads the batch axis up to the data-parallel
+        multiple with zero-length masked samples, exactly like the host
+        path's ``_pad_batch_dim`` + ``sample_mask``."""
+        import numpy as np
+
+        r = self._resident
+        if r is None:
+            raise RuntimeError("call build_resident() before "
+                               "train_step_resident()")
+        idxs = np.asarray(idxs, np.int64)
+        b_real = int(idxs.shape[0])
+        world = 1
+        if self.mesh is not None:
+            world = int(self.mesh.shape.get("data", 1))
+        b = -(-b_real // world) * world
+        pm = r["pad_multiple"]
+
+        def rnd(n):
+            return -(-int(n) // pm) * pm
+
+        t_mel = rnd(r["mel_len"][idxs].max())
+        t_hub = rnd(r["hub_len"][idxs].max())
+
+        meta = np.zeros((b, len(self._META_COLS)), np.int32)
+        for j, col in enumerate(self._META_COLS):
+            meta[:b_real, j] = r[col][idxs]
+        key = (b, t_mel, t_hub)
+        fn = self._resident_steps.get(key)
+        if fn is None:
+            fn = self._resident_steps[key] = self._make_resident_step(
+                t_mel, t_hub)
+        return fn(state, r["flats"], meta, rng)
+
+    def _make_resident_chunk(self, t_mel: int, t_hub: int):
+        if self._train_step is None:
+            self._train_step, self._batch_keys = self._make_train_step()
+        raw = self._raw_step
+        keys = self._batch_keys
+
+        def chunk(state, flats, metas, rng):
+            def body(st, meta):
+                jb = self._resident_gather(flats, meta, t_mel, t_hub)
+                if keys is not None:
+                    jb = {kk: jb[kk] for kk in keys}
+                    jb = jax.lax.with_sharding_constraint(jb,
+                                                          self._batch_spec)
+                return raw(st, jb, rng)
+
+            return jax.lax.scan(body, state, metas)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            metas_sh = NamedSharding(self.mesh, P(None, "data", None))
+            flats_sh = {kk: repl for kk in self._resident["flats"]}
+            return jax.jit(chunk,
+                           in_shardings=(repl, flats_sh, metas_sh, repl),
+                           out_shardings=(repl, repl), donate_argnums=(0,))
+        return jax.jit(chunk, donate_argnums=(0,))
+
+    def train_chunk_resident(self, state, idx_chunks, rng):
+        """Run ``len(idx_chunks)`` consecutive steps in ONE dispatch: the
+        chunk's packed metas ship as a single [k, B, 5] upload and the
+        steps run in an on-device ``lax.scan`` — per-step tunnel round
+        trips amortize away (the host touches the device once per chunk).
+        All batches in the chunk share one (B, T_mel, T_hub) bucket (the
+        chunk max, rounded to pad_multiple): identical zero-pad semantics
+        to the reference's pad-to-longest collate, one bucket coarser.
+        The per-step RNG stream is unchanged (each scan iteration folds
+        the step counter exactly like the single-step path). Returns
+        (state, metrics) with metrics leaves stacked [k]."""
+        import numpy as np
+
+        r = self._resident
+        if r is None:
+            raise RuntimeError("call build_resident() before "
+                               "train_chunk_resident()")
+        world = 1
+        if self.mesh is not None:
+            world = int(self.mesh.shape.get("data", 1))
+        pm = r["pad_multiple"]
+
+        def rnd(n):
+            return -(-int(n) // pm) * pm
+
+        k = len(idx_chunks)
+        idx_arrs = [np.asarray(ix, np.int64) for ix in idx_chunks]
+        b = max(-(-int(ix.shape[0]) // world) * world for ix in idx_arrs)
+        t_mel = rnd(max(int(r["mel_len"][ix].max()) for ix in idx_arrs))
+        t_hub = rnd(max(int(r["hub_len"][ix].max()) for ix in idx_arrs))
+        metas = np.zeros((k, b, len(self._META_COLS)), np.int32)
+        for i, ix in enumerate(idx_arrs):
+            for j, col in enumerate(self._META_COLS):
+                metas[i, : ix.shape[0], j] = r[col][ix]
+        key = ("chunk", k, b, t_mel, t_hub)
+        fn = self._resident_steps.get(key)
+        if fn is None:
+            fn = self._resident_steps[key] = self._make_resident_chunk(
+                t_mel, t_hub)
+        return fn(state, r["flats"], metas, rng)

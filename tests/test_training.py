@@ -215,6 +215,95 @@ def test_trainer_fit_and_resume(binarized):
     assert saved["global_step"] == 8
 
 
+def test_prefetch_to_device_parity(binarized):
+    """prefetch_to_device starts the batch upload in the prefetch thread
+    (sharded per the step's in_shardings); it must be a pure placement
+    optimization — final params bit-identical to the host-numpy path."""
+    import jax
+
+    from diffsvc_tpu.training.trainer import Trainer
+
+    tmp, hp = binarized
+    results = []
+    for flag in (False, True):
+        hp2 = HParams(dict(hp))
+        hp2["work_dir"] = str(tmp / f"work_put_{flag}")
+        hp2["max_updates"] = 4
+        hp2["val_check_interval"] = 100
+        hp2["prefetch_to_device"] = flag
+        t = Trainer(hp2, use_mesh=True, log_writer=False)
+        t.writer = None
+        state = t.fit()
+        results.append(jax.tree.map(np.asarray, state["params"]))
+    a, b = results
+    leaves_a, treedef_a = jax.tree.flatten(a)
+    leaves_b, treedef_b = jax.tree.flatten(b)
+    assert treedef_a == treedef_b
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(la, lb)
+
+
+def test_resident_dataset_parity(binarized):
+    """resident_dataset keeps the binarized features in device memory and
+    feeds the step from per-sample indices (on-device gather + zero-mask).
+    It must reproduce the host collate exactly: final params bit-identical
+    to the host-numpy pipeline over a multi-step fit on the 8-device mesh."""
+    import jax
+
+    from diffsvc_tpu.training.trainer import Trainer
+
+    tmp, hp = binarized
+    results = []
+    for flag in (False, True):
+        hp2 = HParams(dict(hp))
+        hp2["work_dir"] = str(tmp / f"work_resident_{flag}")
+        hp2["max_updates"] = 4
+        hp2["val_check_interval"] = 100
+        hp2["resident_dataset"] = flag
+        t = Trainer(hp2, use_mesh=True, log_writer=False)
+        t.writer = None
+        state = t.fit()
+        results.append(jax.tree.map(np.asarray, state["params"]))
+    a, b = results
+    leaves_a, treedef_a = jax.tree.flatten(a)
+    leaves_b, treedef_b = jax.tree.flatten(b)
+    assert treedef_a == treedef_b
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(la, lb)
+
+
+def test_resident_chunked_dispatch_parity(binarized):
+    """train_steps_per_dispatch > 1 scans several steps inside one dispatch
+    (one packed meta upload per chunk). With uniform length buckets (all
+    fixture clips pad to one 128-frame bucket) the data/RNG streams are
+    identical to per-step resident dispatch — params must agree to float
+    ulps (XLA compiles the scanned body as one program, so reductions may
+    associate differently; measured max 7.5e-9 abs on this fixture) — and
+    chunk ends must align with the val/max_updates boundaries
+    (max_updates=7, val_check_interval=3, spd=4 forces chunk sizes 3, 3, 1)."""
+    import jax
+
+    from diffsvc_tpu.training.trainer import Trainer
+
+    tmp, hp = binarized
+    results = []
+    for spd in (1, 4):
+        hp2 = HParams(dict(hp))
+        hp2["work_dir"] = str(tmp / f"work_spd_{spd}")
+        hp2["max_updates"] = 7
+        hp2["val_check_interval"] = 3
+        hp2["resident_dataset"] = True
+        hp2["train_steps_per_dispatch"] = spd
+        t = Trainer(hp2, use_mesh=True, log_writer=False)
+        t.writer = None
+        state = t.fit()
+        assert int(state["step"]) == 7
+        results.append(jax.tree.map(np.asarray, state["params"]))
+    a, b = results
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(la, lb, rtol=0, atol=1e-7)
+
+
 def test_checkpoint_keep_k_and_best(tmp_path):
     state = {"params": {"w": np.ones(3)}, "opt_state": (), "step": 1}
     for step, val in [(1, 1.0), (2, 0.5), (3, 0.7), (4, 0.4)]:
