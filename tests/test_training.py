@@ -276,11 +276,12 @@ def test_resident_chunked_dispatch_parity(binarized):
     """train_steps_per_dispatch > 1 scans several steps inside one dispatch
     (one packed meta upload per chunk). With uniform length buckets (all
     fixture clips pad to one 128-frame bucket) the data/RNG streams are
-    identical to per-step resident dispatch — params must agree to float
-    ulps (XLA compiles the scanned body as one program, so reductions may
-    associate differently; measured max 7.5e-9 abs on this fixture) — and
-    chunk ends must align with the val/max_updates boundaries
-    (max_updates=7, val_check_interval=3, spd=4 forces chunk sizes 3, 3, 1)."""
+    identical to per-step resident dispatch — params must agree to a few
+    float ulps (XLA compiles the scanned body as a DIFFERENT program, so
+    reductions may associate differently; observed up to 1 ulp depending on
+    host/oneDNN) — and chunk ends must align with the val/max_updates
+    boundaries (max_updates=7, val_check_interval=3, spd=4 forces chunk
+    sizes 3, 3, 1). Tolerance policy: conftest.assert_allclose_ulp."""
     import jax
 
     from diffsvc_tpu.training.trainer import Trainer
@@ -300,8 +301,10 @@ def test_resident_chunked_dispatch_parity(binarized):
         assert int(state["step"]) == 7
         results.append(jax.tree.map(np.asarray, state["params"]))
     a, b = results
+    from tests.conftest import assert_allclose_ulp
+
     for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
-        np.testing.assert_allclose(la, lb, rtol=0, atol=1e-7)
+        assert_allclose_ulp(la, lb, ulps=8, err_msg="chunked dispatch parity")
 
 
 def test_checkpoint_keep_k_and_best(tmp_path):
