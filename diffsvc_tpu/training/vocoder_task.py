@@ -28,19 +28,71 @@ from ..vocoders import discriminators as D
 from ..vocoders import generator as gen
 
 
+def _factor_scales(hop: int):
+    """Greedy 4/2 factorization of hop_size into PWG upsample scales
+    (e.g. 128 -> (4,4,4,2), 256 -> (4,4,4,4), 512 -> (4,4,4,4,2))."""
+    scales = []
+    while hop > 1:
+        for f in (4, 2, 3, 5, 7):
+            if hop % f == 0:
+                scales.append(f)
+                hop //= f
+                break
+        else:
+            scales.append(hop)
+            hop = 1
+    return tuple(scales)
+
+
 class VocoderTask:
     def __init__(self, hp: HParams, mesh=None, voc_cfg: Optional[gen.HifiGanConfig] = None):
         self.hp = hp
         self.mesh = mesh
-        # generator family: the HiFi-GAN/NSF upsampler (reference parity)
-        # or the TPU-first iSTFT-head model (vocoders/istft_head.py)
-        self.family = "istft" if "istft" in str(hp.get("vocoder", "")).lower() \
-            else "hifigan"
+        # generator family: the HiFi-GAN/NSF upsampler (reference parity),
+        # the TPU-first iSTFT-head model (vocoders/istft_head.py), or the
+        # legacy ParallelWaveGAN generator + its own discriminator
+        # (vocoder_family: pwg — the reference vendors the PWG package but
+        # never trains it, parallel_wavegan.py:207-435)
+        voc_str = str(hp.get("vocoder", "")).lower()
+        fam = str(hp.get("vocoder_family", "")).lower()
+        if fam == "pwg" or (not fam and "pwg" in voc_str):
+            self.family = "pwg"
+        elif "istft" in voc_str:
+            self.family = "istft"
+        else:
+            self.family = "hifigan"
         if self.family == "istft":
             from ..vocoders import istft_head
 
             self._istft = istft_head
             self.icfg = istft_head.IstftVocoderConfig.from_hparams(hp)
+        elif self.family == "pwg":
+            from ..vocoders import pwg as pwg_mod
+
+            self._pwg = pwg_mod
+            hop = int(hp["hop_size"])
+            scales = tuple(hp.get("pwg_upsample_scales") or
+                           _factor_scales(hop))
+            assert int(np.prod(scales)) == hop, \
+                f"pwg_upsample_scales {scales} must multiply to hop {hop}"
+            self.pcfg = pwg_mod.PWGConfig(
+                aux_channels=hp["audio_num_mel_bins"],
+                upsample_scales=scales,
+                layers=int(hp.get("pwg_layers", 30)),
+                stacks=int(hp.get("pwg_stacks", 3)),
+                residual_channels=int(hp.get("pwg_residual_channels", 64)),
+                gate_channels=int(hp.get("pwg_gate_channels", 128)),
+                skip_channels=int(hp.get("pwg_skip_channels", 64)))
+            self.pdisc_residual = str(
+                hp.get("pwg_discriminator", "")).lower() == "residual"
+            self.pdcfg = (
+                pwg_mod.ResidualPWGDiscriminatorConfig(
+                    layers=int(hp.get("pwg_disc_layers", 30)),
+                    stacks=int(hp.get("pwg_disc_stacks", 3)))
+                if self.pdisc_residual
+                else pwg_mod.PWGDiscriminatorConfig(
+                    layers=int(hp.get("pwg_disc_layers", 10)),
+                    conv_channels=int(hp.get("pwg_disc_channels", 64))))
         self.cfg = voc_cfg or gen.HifiGanConfig(
             num_mels=hp["audio_num_mel_bins"],
             upsample_initial_channel=int(hp.get("upsample_initial_channel", 512)),
@@ -64,9 +116,18 @@ class VocoderTask:
     def init_state(self, seed: Optional[int] = None) -> Dict:
         seed = seed if seed is not None else self.hp.get("seed", 1234)
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
-        g_params = self._istft.init(k1, self.icfg) if self.family == "istft" \
-            else gen.init(k1, self.cfg)
-        d_params = {"mpd": D.init_mpd(k2), "msd": D.init_msd(k3)}
+        if self.family == "istft":
+            g_params = self._istft.init(k1, self.icfg)
+        elif self.family == "pwg":
+            g_params = self._pwg.init(k1, self.pcfg)
+        else:
+            g_params = gen.init(k1, self.cfg)
+        if self.family == "pwg":
+            d_init = (self._pwg.init_residual_discriminator
+                      if self.pdisc_residual else self._pwg.init_discriminator)
+            d_params = {"pwg": d_init(k2, self.pdcfg)}
+        else:
+            d_params = {"mpd": D.init_mpd(k2), "msd": D.init_msd(k3)}
         return {
             "g_params": g_params, "d_params": d_params,
             "g_opt": self.tx_g.init(g_params), "d_opt": self.tx_d.init(d_params),
@@ -106,11 +167,30 @@ class VocoderTask:
                 # the iSTFT head consumes log10-mel directly
                 return self._istft.apply(g_params, self.icfg, batch["mels"],
                                          batch.get("f0"))
+            if family == "pwg":
+                # PWG: noise at sample rate + edge-padded mel context
+                # (reference network/vocoders/pwg.py:90-95 pads acw frames)
+                mel = batch["mels"]
+                acw = self.pcfg.aux_context_window
+                mel = jnp.pad(mel, ((0, 0), (acw, acw), (0, 0)), mode="edge")
+                hop = int(np.prod(self.pcfg.upsample_scales))
+                z = jax.random.normal(
+                    rng, (batch["mels"].shape[0],
+                          batch["mels"].shape[1] * hop), jnp.float32)
+                return self._pwg.apply(g_params, self.pcfg, z, mel)
             mel_in = batch["mels"] * (mel_ops.LN_10 if is_nsf else 1.0)
             return gen.apply(g_params, cfg, mel_in,
                              batch.get("f0") if is_nsf else None, rng)
 
+        def pwg_disc(d_params, y):
+            fn = (self._pwg.apply_residual_discriminator if self.pdisc_residual
+                  else self._pwg.apply_discriminator) if family == "pwg" else None
+            return fn(d_params["pwg"], self.pdcfg, y)
+
         def d_loss_fn(d_params, y, y_hat):
+            if family == "pwg":
+                return D.discriminator_loss([pwg_disc(d_params, y)],
+                                            [pwg_disc(d_params, y_hat)])
             rs, gs, _, _ = D.apply_mpd(d_params["mpd"], y, y_hat)
             loss = D.discriminator_loss(rs, gs)
             rs2, gs2, _, _ = D.apply_msd(d_params["msd"], y, y_hat)
@@ -119,13 +199,22 @@ class VocoderTask:
         def g_loss_fn(g_params, d_params, batch, rng):
             y = batch["wav"]
             y_hat = gen_forward(g_params, batch, rng)
+            mel_pred = self._mel_for_loss(y_hat)
+            mel_gt = self._mel_for_loss(y)
+            mel_l1 = jnp.abs(mel_pred - mel_gt).mean()
+            if family == "pwg":
+                # official PWG recipe: multi-res STFT + 4.0 * LSGAN adv
+                # (no feature matching / mel term; mel_l1 kept as a metric)
+                adv = D.generator_loss([pwg_disc(d_params, y_hat)])
+                sc, mag = multi_resolution_stft_loss(
+                    y_hat.reshape(-1), y.reshape(-1))
+                loss = sc + mag + 4.0 * adv
+                return loss, (y_hat, {"g_adv": adv, "g_mel": mel_l1,
+                                      "g_stft": sc + mag})
             _, gs, fr, fg = D.apply_mpd(d_params["mpd"], y, y_hat)
             _, gs2, fr2, fg2 = D.apply_msd(d_params["msd"], y, y_hat)
             adv = D.generator_loss(gs) + D.generator_loss(gs2)
             fm = D.feature_loss(fr, fg) + D.feature_loss(fr2, fg2)
-            mel_pred = self._mel_for_loss(y_hat)
-            mel_gt = self._mel_for_loss(y)
-            mel_l1 = jnp.abs(mel_pred - mel_gt).mean()
             loss = adv + lam_fm * fm + lam_mel * mel_l1
             extras = {"g_adv": adv, "g_fm": fm, "g_mel": mel_l1}
             if use_stft:

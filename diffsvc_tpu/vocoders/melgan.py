@@ -23,6 +23,9 @@ class MelGANConfig(NamedTuple):
     upsample_scales: Tuple[int, ...] = (8, 8, 2, 2)
     stack_kernel_size: int = 3
     stacks: int = 3
+    # reference melgan.py:36 use_causal_conv: CausalConv1d /
+    # CausalConvTranspose1d everywhere (layers/causal_conv.py:12-56)
+    use_causal_conv: bool = False
 
 
 def init(key, cfg: MelGANConfig):
@@ -53,27 +56,44 @@ def _reflect_pad(x, pad: int):
     return jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
 
 
+def _causal_pad(x, pad: int):
+    """CausalConv1d padding (reference layers/causal_conv.py:12-33): pad
+    both sides by (k-1)*d then truncate the conv output to the input
+    length — equivalent to a left-only pad before a valid conv. MelGAN
+    passes its own pad module through (ReflectionPad1d by default)."""
+    return jnp.pad(x, ((0, 0), (pad, 0), (0, 0)), mode="reflect")
+
+
 def apply(params, cfg: MelGANConfig, mel: jnp.ndarray) -> jnp.ndarray:
     """mel [B, T, M] -> wav [B, T * prod(scales)].
 
     Reference melgan.py / residual_stack.py: ReflectionPad1d (not zeros)
     before every non-strided conv; each residual stack returns
-    stack(c) + skip_1x1(c)."""
-    x = nn.conv1d(params["conv_in"], _reflect_pad(mel, 3), padding=0)
+    stack(c) + skip_1x1(c). With cfg.use_causal_conv, every conv sees only
+    past samples: left-pad + valid conv, and the transposed convs drop
+    their trailing ``stride`` samples (causal_conv.py:36-56)."""
+    causal = cfg.use_causal_conv
+    pad_in = (lambda x, p: _causal_pad(x, 2 * p)) if causal else _reflect_pad
+    x = nn.conv1d(params["conv_in"], pad_in(mel, 3), padding=0)
     for rate, up, stacks in zip(cfg.upsample_scales, params["ups"],
                                 params["blocks"]):
         x = jax.nn.leaky_relu(x, 0.2)
-        x = nn.conv_transpose1d(up, x, stride=rate, padding=rate // 2)
+        if causal:
+            # CausalConvTranspose1d: no padding, then [:, :-stride]
+            x = nn.conv_transpose1d(up, x, stride=rate, padding=0)[:, :-rate]
+        else:
+            x = nn.conv_transpose1d(up, x, stride=rate, padding=rate // 2)
         for j, blk in enumerate(stacks):
             d = cfg.stack_kernel_size**j
             y = jax.nn.leaky_relu(x, 0.2)
-            pad = (cfg.stack_kernel_size - 1) // 2 * d
-            y = nn.conv1d(blk["c1"], _reflect_pad(y, pad), dilation=d, padding=0)
+            pad = (cfg.stack_kernel_size - 1) * d
+            y = _causal_pad(y, pad) if causal else _reflect_pad(y, pad // 2)
+            y = nn.conv1d(blk["c1"], y, dilation=d, padding=0)
             y = jax.nn.leaky_relu(y, 0.2)
             y = nn.conv1d(blk["c2"], y)
             x = nn.conv1d(blk["skip"], x) + y
     x = jax.nn.leaky_relu(x, 0.2)
-    x = nn.conv1d(params["conv_out"], _reflect_pad(x, 3), padding=0)
+    x = nn.conv1d(params["conv_out"], pad_in(x, 3), padding=0)
     return jnp.tanh(x)[:, :, 0]
 
 

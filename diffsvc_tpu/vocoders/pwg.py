@@ -176,6 +176,150 @@ def convert(sd: dict, cfg: PWGConfig) -> dict:
     return p
 
 
+# ---------------------------------------------------------------------------
+# PWG discriminators (reference modules/parallel_wavegan/models/
+# parallel_wavegan.py: ParallelWaveGANDiscriminator :207-303,
+# ResidualParallelWaveGANDiscriminator :305-435). Never trained by the
+# reference's SVC path; implemented for inventory completeness and so
+# training/vocoder_task.py can adversarially train the PWG generator.
+
+
+class PWGDiscriminatorConfig(NamedTuple):
+    in_channels: int = 1
+    out_channels: int = 1
+    kernel_size: int = 3
+    layers: int = 10
+    conv_channels: int = 64
+    dilation_factor: int = 1
+
+
+def _disc_layer_plan(cfg: PWGDiscriminatorConfig):
+    """(c_in, c_out, dilation) per conv, matching the reference's loop
+    (parallel_wavegan.py:243-262): layer 0 has dilation 1 from in_channels;
+    layer i>0 has dilation i (or dilation_factor**i) from conv_channels;
+    the final conv is dilation 1, conv_channels -> out_channels."""
+    plan = []
+    for i in range(cfg.layers - 1):
+        if i == 0:
+            dilation, c_in = 1, cfg.in_channels
+        else:
+            dilation = i if cfg.dilation_factor == 1 else cfg.dilation_factor ** i
+            c_in = cfg.conv_channels
+        plan.append((c_in, cfg.conv_channels, dilation))
+    plan.append((cfg.conv_channels, cfg.out_channels, 1))
+    return plan
+
+
+def init_discriminator(key, cfg: PWGDiscriminatorConfig):
+    keys = iter(jax.random.split(key, cfg.layers))
+    return [nn.init_conv1d(next(keys), cfg.kernel_size, c_in, c_out)
+            for (c_in, c_out, _d) in _disc_layer_plan(cfg)]
+
+
+def apply_discriminator(params, cfg: PWGDiscriminatorConfig, wav):
+    """wav [B, T] (or [B, T, C]) -> score map [B, T, out_channels].
+
+    Each conv keeps length via torch padding (k-1)//2*dilation; LeakyReLU(0.2)
+    after every conv but the last (reference forward :268-280)."""
+    x = wav[:, :, None] if wav.ndim == 2 else wav
+    plan = _disc_layer_plan(cfg)
+    for i, (p, (_ci, _co, d)) in enumerate(zip(params, plan)):
+        x = nn.conv1d(p, x, dilation=d,
+                      padding=(cfg.kernel_size - 1) // 2 * d)
+        if i < len(plan) - 1:
+            x = jax.nn.leaky_relu(x, 0.2)
+    return x
+
+
+def convert_discriminator(sd: dict, cfg: PWGDiscriminatorConfig):
+    """Torch ParallelWaveGANDiscriminator state dict -> params (folds wn).
+
+    conv_layers is a flat ModuleList alternating [conv, activation], so the
+    convs live at even indices 0, 2, ..., 2*(layers-1)."""
+    from ..utils import convert_torch as cvt
+
+    sd = cvt.fold_weight_norm(sd)
+    return [cvt.conv1d(sd, f"conv_layers.{2 * i}") for i in range(cfg.layers)]
+
+
+class ResidualPWGDiscriminatorConfig(NamedTuple):
+    in_channels: int = 1
+    out_channels: int = 1
+    kernel_size: int = 3
+    layers: int = 30
+    stacks: int = 3
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+
+
+def init_residual_discriminator(key, cfg: ResidualPWGDiscriminatorConfig):
+    keys = iter(jax.random.split(key, 8 + 4 * cfg.layers))
+    rc, gc, sc = cfg.residual_channels, cfg.gate_channels, cfg.skip_channels
+    p = {
+        "first_conv": nn.init_conv1d(next(keys), 1, cfg.in_channels, rc),
+        "layers": [],
+        "last_conv1": nn.init_conv1d(next(keys), 1, sc, sc),
+        "last_conv2": nn.init_conv1d(next(keys), 1, sc, cfg.out_channels),
+    }
+    for _ in range(cfg.layers):
+        p["layers"].append({
+            "conv": nn.init_conv1d(next(keys), cfg.kernel_size, rc, gc),
+            "out": nn.init_conv1d(next(keys), 1, gc // 2, rc),
+            "skip": nn.init_conv1d(next(keys), 1, gc // 2, sc),
+        })
+    return p
+
+
+def apply_residual_discriminator(params, cfg: ResidualPWGDiscriminatorConfig,
+                                 wav):
+    """WaveNet-style discriminator: the generator's residual stack with no
+    aux conditioning (aux_channels=-1) and LeakyReLU around the 1x1 in/out
+    convs (reference forward :393-414). wav [B, T] -> [B, T, out_channels]."""
+    x = wav[:, :, None] if wav.ndim == 2 else wav
+    x = jax.nn.leaky_relu(nn.conv1d(params["first_conv"], x), 0.2)
+    skips = 0.0
+    layers_per_stack = cfg.layers // cfg.stacks
+    half = cfg.gate_channels // 2
+    for i, lp in enumerate(params["layers"]):
+        dilation = 2 ** (i % layers_per_stack)
+        y = nn.conv1d(lp["conv"], x, dilation=dilation)
+        xa, xb = y[..., :half], y[..., half:]
+        y = jnp.tanh(xa) * jax.nn.sigmoid(xb)
+        skips = skips + nn.conv1d(lp["skip"], y)
+        x = (x + nn.conv1d(lp["out"], y)) * math.sqrt(0.5)
+    s = skips * math.sqrt(1.0 / cfg.layers)
+    s = jax.nn.leaky_relu(s, 0.2)
+    s = nn.conv1d(params["last_conv1"], s)
+    s = jax.nn.leaky_relu(s, 0.2)
+    return nn.conv1d(params["last_conv2"], s)
+
+
+def convert_residual_discriminator(sd: dict,
+                                   cfg: ResidualPWGDiscriminatorConfig):
+    """Torch ResidualParallelWaveGANDiscriminator state dict -> params.
+    first_conv is Sequential(Conv1d1x1, act) -> conv at .0; residual blocks
+    at conv_layers.{i}.{conv,conv1x1_out,conv1x1_skip} (no conv1x1_aux:
+    aux_channels=-1); last 1x1s at last_conv_layers.{1,3}."""
+    from ..utils import convert_torch as cvt
+
+    sd = cvt.fold_weight_norm(sd)
+    p = {
+        "first_conv": cvt.conv1d(sd, "first_conv.0"),
+        "layers": [],
+        "last_conv1": cvt.conv1d(sd, "last_conv_layers.1"),
+        "last_conv2": cvt.conv1d(sd, "last_conv_layers.3"),
+    }
+    for j in range(cfg.layers):
+        pfx = f"conv_layers.{j}"
+        p["layers"].append({
+            "conv": cvt.conv1d(sd, f"{pfx}.conv"),
+            "out": cvt.conv1d(sd, f"{pfx}.conv1x1_out"),
+            "skip": cvt.conv1d(sd, f"{pfx}.conv1x1_skip"),
+        })
+    return p
+
+
 class PWGGenerator:
     """Checkpoint-loading wrapper (mirrors network/vocoders/pwg.py:54-103)."""
 

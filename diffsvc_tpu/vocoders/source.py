@@ -73,3 +73,21 @@ def cyclic_noise_gen(rng, f0_up: jnp.ndarray, sr: int,
 
     cyc = jax.vmap(per_batch)(pure_pulse, f0_mean)
     return cyc + noise * (1.0 - uv), uv
+
+
+def source_module_cyc_noise(rng, f0_up: jnp.ndarray, sr: int,
+                            noise_std: float = 0.003, beta: float = 0.87,
+                            voiced_threshold: float = 0.0):
+    """SourceModuleCycNoise_v1 (reference models/source.py:444-483): the
+    module-level merge wrapper over CyclicNoiseGen_v1.
+
+    Returns (cyc, noise, uv) all [B, L]: the cyclic-noise harmonic source,
+    a fresh Gaussian noise branch scaled ``noise_std / 3`` (source.py:479),
+    and the voiced mask (f0 > voiced_threshold).
+    """
+    k1, k2 = jax.random.split(rng)
+    f0_gated = jnp.where(f0_up > voiced_threshold, f0_up, 0.0)
+    cyc, uv = cyclic_noise_gen(k1, f0_gated, sr, noise_std=noise_std,
+                               beta=beta)
+    noise = jax.random.normal(k2, uv.shape, f0_up.dtype) * noise_std / 3.0
+    return cyc, noise, uv

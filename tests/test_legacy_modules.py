@@ -106,3 +106,132 @@ def test_offline_gaussian_diffusion():
     out = model.infer(params, batch, jax.random.PRNGKey(1))
     assert out["mel_out"].shape == (1, 8, 8)
     assert np.isfinite(np.asarray(out["mel_out"])).all()
+
+
+def test_melgan_causal_mode_parity():
+    """use_causal_conv (reference melgan.py:36/64-128 + causal_conv.py):
+    parity vs an independent torch causal build sharing the same weights."""
+    import math
+
+    import torch
+    import torch.nn as tnn
+
+    from diffsvc_tpu.vocoders import melgan
+
+    cfg = melgan.MelGANConfig(in_channels=4, channels=16,
+                              upsample_scales=(2, 2), stacks=2,
+                              use_causal_conv=True)
+    params = melgan.init(jax.random.PRNGKey(0), cfg)
+
+    class CausalConv(tnn.Module):
+        # causal_conv.py:12-33 with MelGAN's ReflectionPad1d pad module
+        def __init__(self, i, o, k, d=1):
+            super().__init__()
+            self.pad = tnn.ReflectionPad1d((k - 1) * d)
+            self.conv = tnn.Conv1d(i, o, k, dilation=d)
+
+        def forward(self, x):
+            return self.conv(self.pad(x))[:, :, : x.size(2)]
+
+    class CausalConvT(tnn.Module):
+        # causal_conv.py:36-56: plain deconv, drop trailing `stride`
+        def __init__(self, i, o, k, s):
+            super().__init__()
+            self.deconv = tnn.ConvTranspose1d(i, o, k, s)
+            self.s = s
+
+        def forward(self, x):
+            return self.deconv(x)[:, :, : -self.s]
+
+    def set_conv(mod, p):
+        with torch.no_grad():
+            mod.weight.copy_(torch.from_numpy(
+                np.asarray(p["w"]).transpose(2, 1, 0)))
+            mod.bias.copy_(torch.from_numpy(np.asarray(p["b"])))
+
+    def set_convt(mod, p):
+        with torch.no_grad():  # jax [k, out, in] -> torch [in, out, k]
+            mod.weight.copy_(torch.from_numpy(
+                np.asarray(p["w"]).transpose(2, 1, 0)))
+            mod.bias.copy_(torch.from_numpy(np.asarray(p["b"])))
+
+    conv_in = CausalConv(4, 16, 7)
+    set_conv(conv_in.conv, params["conv_in"])
+    tmods = [conv_in]
+    ch = 16
+    for i, rate in enumerate(cfg.upsample_scales):
+        tmods.append(tnn.LeakyReLU(0.2))
+        up = CausalConvT(ch, ch // 2, rate * 2, rate)
+        set_convt(up.deconv, params["ups"][i])
+        tmods.append(up)
+        ch //= 2
+        for j, blk in enumerate(params["blocks"][i]):
+            d = cfg.stack_kernel_size ** j
+            stack = tnn.Sequential(
+                tnn.LeakyReLU(0.2), CausalConv(ch, ch, 3, d),
+                tnn.LeakyReLU(0.2), tnn.Conv1d(ch, ch, 1))
+            set_conv(stack[1].conv, blk["c1"])
+            set_conv(stack[3], blk["c2"])
+            skip = tnn.Conv1d(ch, ch, 1)
+            set_conv(skip, blk["skip"])
+
+            class Stack(tnn.Module):  # residual_stack.py:54-76 causal arm
+                def __init__(self, s, sk):
+                    super().__init__()
+                    self.s, self.sk = s, sk
+
+                def forward(self, x):
+                    return self.s(x) + self.sk(x)
+
+            tmods.append(Stack(stack, skip))
+    tmods.append(tnn.LeakyReLU(0.2))
+    conv_out = CausalConv(ch, 1, 7)
+    set_conv(conv_out.conv, params["conv_out"])
+    tmods += [conv_out, tnn.Tanh()]
+    tnet = tnn.Sequential(*tmods)
+
+    mel = np.random.RandomState(0).randn(1, 12, 4).astype(np.float32)
+    with torch.no_grad():
+        y_t = tnet(torch.from_numpy(mel.transpose(0, 2, 1))).numpy()[:, 0]
+    y_j = np.asarray(melgan.apply(params, cfg, jnp.asarray(mel)))
+    assert y_j.shape == (1, 12 * 4)
+    np.testing.assert_allclose(y_j, y_t, rtol=1e-4, atol=1e-5)
+
+
+def test_melgan_causal_mode_is_causal():
+    """Changing frames >= t0 must not change samples < t0 * prod(scales)."""
+    from diffsvc_tpu.vocoders import melgan
+
+    cfg = melgan.MelGANConfig(in_channels=4, channels=16,
+                              upsample_scales=(2, 2), stacks=2,
+                              use_causal_conv=True)
+    params = melgan.init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(1)
+    mel_a = rng.randn(1, 16, 4).astype(np.float32)
+    mel_b = mel_a.copy()
+    t0 = 8
+    mel_b[:, t0:] += rng.randn(1, 16 - t0, 4).astype(np.float32)
+    y_a = np.asarray(melgan.apply(params, cfg, jnp.asarray(mel_a)))
+    y_b = np.asarray(melgan.apply(params, cfg, jnp.asarray(mel_b)))
+    up = 4
+    np.testing.assert_allclose(y_a[:, : t0 * up], y_b[:, : t0 * up],
+                               rtol=1e-5, atol=1e-6)
+    assert np.abs(y_a[:, t0 * up:] - y_b[:, t0 * up:]).max() > 1e-4
+
+
+def test_source_module_cyc_noise():
+    """SourceModuleCycNoise_v1 wrapper surface (reference source.py:444-483):
+    (cyc, noise, uv) with the noise branch at std noise_std/3."""
+    from diffsvc_tpu.vocoders.source import source_module_cyc_noise
+
+    sr = 8000
+    f0 = jnp.concatenate([jnp.full((1, sr // 2), 100.0),
+                          jnp.zeros((1, sr // 2))], axis=1)
+    cyc, noise, uv = source_module_cyc_noise(
+        jax.random.PRNGKey(0), f0, sr, noise_std=0.003)
+    assert cyc.shape == noise.shape == uv.shape == f0.shape
+    u = np.asarray(uv[0])
+    assert u[: sr // 2].min() == 1.0 and u[sr // 2:].max() == 0.0
+    n = np.asarray(noise[0])
+    assert abs(n.std() - 0.001) < 3e-4, n.std()
+    assert np.isfinite(np.asarray(cyc)).all()

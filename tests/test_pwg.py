@@ -144,3 +144,121 @@ def test_pwg_official_dir_with_stats_h5(tmp_path):
     want = np.asarray(pwg.apply(g.params, g.cfg, jnp.asarray(z),
                                 jnp.asarray(c[None])))[0]
     np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-6)
+
+
+class TorchPWGDisc(tnn.Module):
+    """Official ParallelWaveGANDiscriminator structure, small dims
+    (reference parallel_wavegan.py:207-303): flat ModuleList alternating
+    [wn(Conv1d), LeakyReLU(0.2)], dilation i at layer i>0, final plain conv."""
+
+    def __init__(self, in_ch=1, out_ch=1, k=3, layers=5, cc=8, dil_factor=1):
+        super().__init__()
+        wn = tnn.utils.weight_norm
+        self.conv_layers = tnn.ModuleList()
+        conv_in = in_ch
+        for i in range(layers - 1):
+            if i == 0:
+                d = 1
+            else:
+                d = i if dil_factor == 1 else dil_factor ** i
+                conv_in = cc
+            pad = (k - 1) // 2 * d
+            self.conv_layers += [
+                wn(tnn.Conv1d(conv_in, cc, k, padding=pad, dilation=d)),
+                tnn.LeakyReLU(0.2, inplace=True)]
+        self.conv_layers += [wn(tnn.Conv1d(cc, out_ch, k, padding=(k - 1) // 2))]
+
+    def forward(self, x):
+        for f in self.conv_layers:
+            x = f(x)
+        return x
+
+
+def test_pwg_discriminator_converter_parity():
+    torch.manual_seed(1)
+    tm = TorchPWGDisc(layers=5, cc=8)
+    x = torch.randn(2, 1, 64)
+    with torch.no_grad():
+        y_t = tm(x).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    cfg = pwg.PWGDiscriminatorConfig(layers=5, conv_channels=8)
+    params = pwg.convert_discriminator(sd, cfg)
+    y_j = pwg.apply_discriminator(params, cfg, jnp.asarray(x.numpy()[:, 0]))
+    np.testing.assert_allclose(
+        np.asarray(y_j)[:, :, 0][:, None], y_t, rtol=1e-4, atol=1e-5)
+
+
+def test_pwg_discriminator_dilation_factor():
+    """dilation_factor != 1 switches the plan to dil_factor**i (ref :246)."""
+    torch.manual_seed(2)
+    tm = TorchPWGDisc(layers=4, cc=8, dil_factor=2)
+    x = torch.randn(1, 1, 48)
+    with torch.no_grad():
+        y_t = tm(x).numpy()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    cfg = pwg.PWGDiscriminatorConfig(layers=4, conv_channels=8,
+                                     dilation_factor=2)
+    params = pwg.convert_discriminator(sd, cfg)
+    y_j = pwg.apply_discriminator(params, cfg, jnp.asarray(x.numpy()[:, 0]))
+    np.testing.assert_allclose(
+        np.asarray(y_j)[:, :, 0][:, None], y_t, rtol=1e-4, atol=1e-5)
+
+
+class TorchResPWGDisc(tnn.Module):
+    """ResidualParallelWaveGANDiscriminator structure, small dims
+    (reference parallel_wavegan.py:305-435): WaveNet stack, no aux conv,
+    LeakyReLU-wrapped 1x1 in/out convs, skips scaled sqrt(1/layers)."""
+
+    def __init__(self, in_ch=1, out_ch=1, k=3, layers=4, stacks=2,
+                 rc=8, gc=16, sc=8):
+        super().__init__()
+        wn = tnn.utils.weight_norm
+        self.gc, self.n = gc, layers
+        self.first_conv = tnn.Sequential(
+            wn(tnn.Conv1d(in_ch, rc, 1)), tnn.LeakyReLU(0.2, inplace=True))
+        lps = layers // stacks
+        self.conv_layers = tnn.ModuleList()
+        for l in range(layers):
+            d = 2 ** (l % lps)
+            blk = tnn.Module()
+            blk.conv = wn(tnn.Conv1d(rc, gc, k, padding=(k - 1) // 2 * d,
+                                     dilation=d))
+            blk.conv1x1_out = wn(tnn.Conv1d(gc // 2, rc, 1))
+            blk.conv1x1_skip = wn(tnn.Conv1d(gc // 2, sc, 1))
+            self.conv_layers.append(blk)
+        self.last_conv_layers = tnn.ModuleList([
+            tnn.LeakyReLU(0.2, inplace=True), wn(tnn.Conv1d(sc, sc, 1)),
+            tnn.LeakyReLU(0.2, inplace=True), wn(tnn.Conv1d(sc, out_ch, 1))])
+
+    def forward(self, x):
+        x = self.first_conv(x)
+        skips = 0.0
+        for blk in self.conv_layers:
+            residual = x
+            y = blk.conv(x)
+            xa, xb = torch.split(y, self.gc // 2, dim=1)
+            y = torch.tanh(xa) * torch.sigmoid(xb)
+            skips = skips + blk.conv1x1_skip(y)
+            x = (blk.conv1x1_out(y) + residual) * math.sqrt(0.5)
+        x = skips * math.sqrt(1.0 / self.n)
+        for f in self.last_conv_layers:
+            x = f(x)
+        return x
+
+
+def test_residual_pwg_discriminator_converter_parity():
+    torch.manual_seed(3)
+    tm = TorchResPWGDisc(layers=4, stacks=2, rc=8, gc=16, sc=8)
+    x = torch.randn(2, 1, 64)
+    with torch.no_grad():
+        y_t = tm(x).numpy()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    cfg = pwg.ResidualPWGDiscriminatorConfig(
+        layers=4, stacks=2, residual_channels=8, gate_channels=16,
+        skip_channels=8)
+    params = pwg.convert_residual_discriminator(sd, cfg)
+    y_j = pwg.apply_residual_discriminator(
+        params, cfg, jnp.asarray(x.numpy()[:, 0]))
+    np.testing.assert_allclose(
+        np.asarray(y_j)[:, :, 0][:, None], y_t, rtol=1e-4, atol=1e-5)

@@ -133,3 +133,61 @@ def test_istft_family_trains_in_nsf_mel_geometry():
         w, sr=8000, n_fft=256, hop=64, win_length=256, n_mels=16,
         fmin=40.0, fmax=3500.0))(wav))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pwg_family_gan_train_step():
+    """vocoder_family: pwg — PWG generator + ParallelWaveGANDiscriminator
+    GAN step (closes the one §2.6 family that had a generator but no
+    adversary; reference vendors but never trains it)."""
+    from diffsvc_tpu.training.vocoder_task import _factor_scales
+
+    assert _factor_scales(128) == (4, 4, 4, 2)
+    assert _factor_scales(256) == (4, 4, 4, 4)
+
+    hp = HParams(
+        audio_sample_rate=8000, audio_num_mel_bins=16, fft_size=256,
+        hop_size=64, win_size=256, fmin=30, fmax=4000, vocoder="pwg",
+        vocoder_family="pwg", vocoder_lr=2e-4, seed=0,
+        pwg_layers=4, pwg_stacks=2, pwg_residual_channels=8,
+        pwg_gate_channels=16, pwg_skip_channels=8,
+        pwg_disc_layers=4, pwg_disc_channels=8)
+    task = VocoderTask(hp)
+    assert task.family == "pwg"
+    assert task.pcfg.upsample_scales == (4, 4, 4)
+    state = task.init_state()
+
+    rng = np.random.RandomState(0)
+    B, S = 2, 16
+    batch = {
+        "mels": rng.randn(B, S, 16).astype(np.float32) * 0.5 - 2.0,
+        "wav": (rng.randn(B, S * 64) * 0.1).astype(np.float32),
+        "f0": np.full((B, S), 220.0, np.float32),
+    }
+    for i in range(2):
+        state, metrics = task.train_step(state, batch, jax.random.PRNGKey(i))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert {"g_adv", "g_stft", "g_mel", "d_loss", "g_loss"} <= set(metrics)
+    assert int(state["step"]) == 2
+
+
+def test_pwg_family_residual_discriminator_step():
+    hp = HParams(
+        audio_sample_rate=8000, audio_num_mel_bins=16, fft_size=256,
+        hop_size=64, win_size=256, fmin=30, fmax=4000,
+        vocoder_family="pwg", pwg_discriminator="residual", seed=0,
+        pwg_layers=4, pwg_stacks=2, pwg_residual_channels=8,
+        pwg_gate_channels=16, pwg_skip_channels=8,
+        pwg_disc_layers=4, pwg_disc_stacks=2)
+    task = VocoderTask(hp)
+    state = task.init_state()
+    rng = np.random.RandomState(1)
+    B, S = 1, 16
+    batch = {
+        "mels": rng.randn(B, S, 16).astype(np.float32) * 0.5 - 2.0,
+        "wav": (rng.randn(B, S * 64) * 0.1).astype(np.float32),
+        "f0": np.full((B, S), 220.0, np.float32),
+    }
+    state, metrics = task.train_step(state, batch, jax.random.PRNGKey(0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
