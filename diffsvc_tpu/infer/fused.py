@@ -387,12 +387,15 @@ class FusedSvc:
         bucket = int(hp.get("fused_bucket_samples", 0))
         if bucket:
             n44 = -(-n44 // bucket) * bucket
+        # the int16 wire engages only via the hp flag OR when EVERY input
+        # already is int16 — never silently quantize float32 members of a
+        # mixed batch to the int16 grid (they upcast via to_float instead)
         int16_wire = (bool(hp.get("fused_input_int16", False))
-                      or any(np.asarray(w).dtype == np.int16 for w in wavs))
+                      or all(np.asarray(w).dtype == np.int16 for w in wavs))
         stacked = np.zeros((n, n44), np.int16 if int16_wire else np.float32)
         for i, w in enumerate(wavs):
             stacked[i, : len(w)] = self.to_int16(w) if int16_wire \
-                else np.asarray(w, np.float32)
+                else self.to_float(w)
         if key_shifts is None:
             key_shifts = 0
         if np.ndim(key_shifts) == 0:
@@ -461,12 +464,14 @@ class FusedSvc:
         bucket = int(self.hp.get("fused_bucket_samples", 0))
         if bucket:
             n44 = -(-n44 // bucket) * bucket
+        # same mixed-batch rule as batched(): int16 wire only via the hp
+        # flag or an all-int16 batch; float members never get quantized
         int16_wire = (bool(self.hp.get("fused_input_int16", False))
-                      or any(np.asarray(w).dtype == np.int16 for w in wavs))
+                      or all(np.asarray(w).dtype == np.int16 for w in wavs))
         stacked = np.zeros((n, n44), np.int16 if int16_wire else np.float32)
         for i, w in enumerate(wavs):
             stacked[i, : len(w)] = self.to_int16(w) if int16_wire \
-                else np.asarray(w, np.float32)
+                else self.to_float(w)
         if key_shifts is None:
             key_shifts = 0
         if np.ndim(key_shifts) == 0:

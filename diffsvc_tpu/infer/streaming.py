@@ -22,8 +22,12 @@ added latency:
 Timing contract: call k returns exactly ``len(buffer_k)`` samples except
 the first call, which returns ``len(buffer_0) - C`` (the stream is
 delayed by ``C = crossfade_ms`` samples); :meth:`flush` returns the final
-held ``C`` samples.  Conversion is any ``f(np.float32[N]) -> [N]`` —
-the fused serving graph, the modular path, or a test stub.
+held ``C`` samples.  Buffers shorter than one crossfade (common DAW/VST
+block sizes of 256-1024 samples are below the 40 ms default) are
+accumulated internally and return 0 samples until a full crossfade of
+input is available — the emitted stream is delayed, never dropped.
+Conversion is any ``f(np.float32[N]) -> [N]`` — the fused serving
+graph, the modular path, or a test stub.
 """
 
 from __future__ import annotations
@@ -50,13 +54,18 @@ class StreamingConverter:
         self._w = (0.5 - 0.5 * np.cos(np.pi * t)).astype(np.float32)
         self._in_tail: Optional[np.ndarray] = None
         self._held: Optional[np.ndarray] = None
+        self._pending: Optional[np.ndarray] = None
 
     def __call__(self, buf: np.ndarray) -> np.ndarray:
         buf = np.asarray(buf, np.float32)
+        if self._pending is not None:
+            buf = np.concatenate([self._pending, buf])
+            self._pending = None
         if len(buf) < self.C:
-            raise ValueError(
-                f"buffer ({len(buf)} samples) shorter than the crossfade "
-                f"({self.C}); lower crossfade_ms or batch buffers")
+            # sub-crossfade buffer: accumulate until one crossfade length
+            # of input is available (small DAW/VST block sizes)
+            self._pending = buf
+            return np.zeros(0, np.float32)
         if self._in_tail is None:
             y = np.asarray(self.convert(buf), np.float32)
             out = y[: len(buf) - self.C]
@@ -76,7 +85,24 @@ class StreamingConverter:
         return out
 
     def flush(self) -> np.ndarray:
-        """Emit the held tail and reset the stream."""
+        """Emit any accumulated sub-crossfade input plus the held tail,
+        then reset the stream."""
+        pending = self._pending
+        self._pending = None
+        if pending is not None and len(pending):
+            if self._in_tail is None:
+                # stream was only ever sub-crossfade input: convert as-is
+                y = np.asarray(self.convert(pending), np.float32)
+                self._held = None
+                return y
+            x = np.concatenate([self._in_tail, pending])
+            mi = len(self._in_tail)
+            y = np.asarray(self.convert(x), np.float32)
+            redo = y[mi - self.C: mi]
+            blended = self._held + self._w * (redo - self._held)
+            self._in_tail = None
+            self._held = None
+            return np.concatenate([blended, y[mi:]])
         held = (self._held if self._held is not None
                 else np.zeros(0, np.float32))
         self._in_tail = None

@@ -10,6 +10,7 @@ a flask app factory is provided for environments that have it.
 
 import argparse
 import io
+import struct
 import time
 from email.parser import BytesParser
 from email.policy import default as email_default_policy
@@ -126,6 +127,14 @@ def make_stream(model, acc, fused=False, context_ms=100.0,
 
 
 def make_handler(model, accelerate, fused=False, stream=None):
+    import threading
+
+    # serializes conversion: the shared StreamingConverter (and the jit
+    # dispatch queue) must never interleave two requests — a no-op under
+    # the single-threaded HTTPServer, a correctness guard if the server is
+    # ever swapped for ThreadingHTTPServer
+    infer_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
             if self.path != "/voiceChangeModel":
@@ -148,12 +157,34 @@ def make_handler(model, accelerate, fused=False, stream=None):
                     wav_bytes = part.get_payload(decode=True)
                 elif name:
                     fields[name] = part.get_payload(decode=True).decode()
-            f_pitch_change = float(fields.get("fPitchChange", 0))
-            daw_sample = int(float(fields.get("sampleRate", 44100)))
             try:
-                body = _infer_wav(model, accelerate, wav_bytes,
-                                  f_pitch_change, daw_sample, fused=fused,
-                                  stream=stream)
+                f_pitch_change = float(fields.get("fPitchChange", 0))
+                daw_sample = int(float(fields.get("sampleRate", 44100)))
+            except ValueError:
+                self.send_error(400, "fPitchChange/sampleRate not numeric")
+                return
+            if not np.isfinite(f_pitch_change) or abs(f_pitch_change) > 48:
+                self.send_error(
+                    400, f"fPitchChange {f_pitch_change} out of range "
+                    "(finite, |semitones| <= 48)")
+                return
+            if daw_sample <= 0:
+                self.send_error(400, f"bad sampleRate {daw_sample}")
+                return
+            if not wav_bytes:
+                self.send_error(400, "missing 'sample' file field")
+                return
+            try:
+                with infer_lock:
+                    body = _infer_wav(model, accelerate, wav_bytes,
+                                      f_pitch_change, daw_sample,
+                                      fused=fused, stream=stream)
+            except (ValueError, EOFError, KeyError, struct.error) as e:
+                # undecodable/truncated upload -> client error, not 500
+                # (scipy wavfile raises ValueError / struct.error / KeyError
+                # depending on where the file is cut)
+                self.send_error(400, f"bad wav upload: {e}")
+                return
             except Exception as e:  # pragma: no cover
                 self.send_error(500, str(e))
                 return

@@ -172,3 +172,72 @@ def test_warmup_fused_compiles_every_bucket():
     # 1.2 s * 8000 = 9600 samples over 4000-sample buckets -> 3 buckets
     assert n == 3
     assert calls == [4000, 8000, 12000]
+
+
+def _post(port, body, ctype):
+    import urllib.error
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/voiceChangeModel", data=body,
+        headers={"Content-Type": ctype}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_malformed_uploads_return_clean_http_errors():
+    """Input robustness the reference lacks (ref flask_api.py:19-38 has
+    zero error handling): truncated wav, wrong content type, absurd or
+    non-numeric fPitchChange, missing sample -> 4xx, never a hang or
+    an opaque 500; the server keeps serving afterwards."""
+    model = FakeModel()
+    server = HTTPServer(("127.0.0.1", 0), make_handler(model, accelerate=50))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        sr = 8000
+        wav = (0.1 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr))
+        buf = io.BytesIO()
+        wavfile.write(buf, sr, (wav * 32767).astype(np.int16))
+        good = buf.getvalue()
+
+        # wrong content type
+        assert _post(port, b"x", "application/json") == 400
+
+        # truncated wav payload (header cut mid-way)
+        body, ctype = _multipart({"fPitchChange": "0", "sampleRate": "8000"},
+                                 good[:40])
+        assert _post(port, body, ctype) == 400
+
+        # non-numeric pitch
+        body, ctype = _multipart({"fPitchChange": "not-a-number",
+                                  "sampleRate": "8000"}, good)
+        assert _post(port, body, ctype) == 400
+
+        # absurd pitch (beyond +-48 semitones) and non-finite
+        for bad in ("4800", "nan", "inf"):
+            body, ctype = _multipart({"fPitchChange": bad,
+                                      "sampleRate": "8000"}, good)
+            assert _post(port, body, ctype) == 400, bad
+
+        # bad sample rate
+        body, ctype = _multipart({"fPitchChange": "0", "sampleRate": "0"},
+                                 good)
+        assert _post(port, body, ctype) == 400
+
+        # missing sample field entirely
+        boundary = "testboundary123"
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="fPitchChange"\r\n\r\n0\r\n--{boundary}--\r\n').encode()
+        assert _post(port, body,
+                     f"multipart/form-data; boundary={boundary}") == 400
+
+        # server still healthy: a good request succeeds after all that
+        body, ctype = _multipart({"fPitchChange": "1", "sampleRate": "8000"},
+                                 good)
+        assert _post(port, body, ctype) == 200
+    finally:
+        server.shutdown()

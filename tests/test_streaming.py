@@ -108,6 +108,29 @@ def test_validation_errors():
     with pytest.raises(ValueError):
         StreamingConverter(lambda x: x, SR, context_ms=20.0,
                            crossfade_ms=40.0)
+
+
+def test_sub_crossfade_buffers_accumulate():
+    """Buffers shorter than the crossfade (typical DAW 256-1024 sample
+    blocks vs the 40 ms = 1764-sample default) accumulate internally and
+    emit once a crossfade length is available; no sample is dropped."""
     sc = StreamingConverter(lambda x: x, SR, crossfade_ms=40.0)
-    with pytest.raises(ValueError):
-        sc(np.zeros(10, np.float32))  # shorter than the crossfade
+    rng = np.random.RandomState(0)
+    sig = rng.randn(SR).astype(np.float32)
+    out, n_in = [], 0
+    block = 512  # < sc.C
+    for i in range(0, len(sig) - block + 1, block):
+        y = sc(sig[i: i + block])
+        n_in += block
+        out.append(y)
+    out.append(sc.flush())
+    got = np.concatenate(out)
+    assert len(got) == n_in
+    np.testing.assert_allclose(got, sig[:n_in], rtol=1e-6, atol=1e-7)
+
+
+def test_sub_crossfade_only_stream_flush():
+    sc = StreamingConverter(lambda x: x, SR, crossfade_ms=40.0)
+    sig = np.arange(100, dtype=np.float32)
+    assert len(sc(sig)) == 0
+    np.testing.assert_array_equal(sc.flush(), sig)

@@ -49,7 +49,9 @@ def make_real_clips(path, sr, dur, hop, nmel, nfft, win, fmin, fmax):
     if w.ndim > 1:
         w = w.mean(-1)
     if np.issubdtype(w.dtype, np.integer):
-        w = w.astype(np.float32) / float(np.iinfo(w.dtype).max + 1)
+        # iinfo.max (32767 for int16), matching FusedSvc.to_float and the
+        # on-device PCM16 decode — not max+1 (1-LSB scale mismatch)
+        w = w.astype(np.float32) / float(np.iinfo(w.dtype).max)
     if sr0 != sr:
         w = resample(w.astype(np.float32), sr0, sr)
     hp_f0 = HParams(audio_sample_rate=sr, hop_size=hop, f0_min=40.0,
