@@ -101,6 +101,38 @@ def prepare_cond(params, cond):
     return jnp.einsum("bth,lhc->lbtc", cond, cond_w) + cond_b[:, None, None, :]
 
 
+# Data mesh for the fused train kernel, declared by training/task.py (or a
+# test) before the step traces. Read at TRACE time: when set to a data-only
+# mesh, the train kernel is wrapped in shard_map so each device runs its own
+# pallas call on its local batch shard — GSPMD never has to partition the
+# custom call, which was the reason multi-chip used to forfeit the kernel.
+_TRAIN_MESH = None
+
+
+def set_train_mesh(mesh):
+    """Declare (or clear, with None) the mesh for pallas_train sharding.
+    Returns the previous value so callers/tests can restore it."""
+    global _TRAIN_MESH
+    prev = _TRAIN_MESH
+    _TRAIN_MESH = mesh
+    return prev
+
+
+def _shardable_data_mesh(b: int):
+    """The declared mesh, iff the fused train kernel can run under it:
+    a 'data' axis that divides the batch, and no other axis actually
+    sharding anything (a seq-sharded T needs the halo-exchange scan)."""
+    m = _TRAIN_MESH
+    if m is None or "data" not in m.axis_names:
+        return None
+    if any(s > 1 for ax, s in m.shape.items() if ax != "data"):
+        return None
+    dp = m.shape["data"]
+    if dp <= 1 or b % dp != 0:
+        return None
+    return m
+
+
 def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
           cond_proj=None, inference: bool = False):
     """Predict noise.
@@ -186,12 +218,17 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
     if (not inference) and tmode in ("auto", "on", "interpret"):
         from ..ops.pallas import diffnet_stack as _stack
 
-        # single-device only for now: under a data-sharded mesh the SPMD
-        # partitioner would have to partition the vmapped pallas custom
-        # call, which is unvalidated on real multi-chip hardware — the
-        # differentiable scan below is the multi-chip path
-        want = tmode == "interpret" or (jax.default_backend() == "tpu"
-                                        and len(jax.devices()) == 1)
+        # single-device runs the kernel directly; under a data-only mesh
+        # (declared via set_train_mesh) the kernel is wrapped in shard_map
+        # — the batch axis is embarrassingly parallel, each device runs one
+        # pallas call on its local shard, and shard_map's transpose psums
+        # the replicated weight/step/conditioner grads over 'data' exactly
+        # like the scan path's GSPMD all-reduce. Seq-sharded meshes keep
+        # the halo-exchange scan below.
+        mesh = _shardable_data_mesh(b)
+        want = (tmode == "interpret"
+                or (jax.default_backend() == "tpu"
+                    and (len(jax.devices()) == 1 or mesh is not None)))
         if want and _stack.supported_train(n_layers, cycle, t_len, c):
             dp = params["layers"]["diffusion_projection"]
             sb = (jnp.einsum("bc,lcd->lbd", step, dp["w"])
@@ -202,11 +239,29 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
             bo = params["layers"]["output_projection"]["b"]
             interp = tmode == "interpret"
 
-            def one(x1, sb1, cp1):
-                return _stack.residual_stack_train(
-                    x1, sb1, cp1, wd, bd, wo, bo, cycle, interp)
+            def stack_fn(x_s, sb_s, cp_s, wd_, bd_, wo_, bo_):
+                def one(x1, sb1, cp1):
+                    return _stack.residual_stack_train(
+                        x1, sb1, cp1, wd_, bd_, wo_, bo_, cycle, interp)
 
-            skip_sum = jax.vmap(one, in_axes=(0, 1, 1))(x, sb, cond_proj)
+                return jax.vmap(one, in_axes=(0, 1, 1))(x_s, sb_s, cp_s)
+
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                # check_vma=False: pallas_call does not declare varying-
+                # across-mesh info on its outputs, so the vma checker cannot
+                # see through it; the unchecked transpose still psums the
+                # replicated-input (weight) grads correctly — parity-tested
+                # on the 8-device CPU mesh in tests/test_diffnet_stack_train
+                skip_sum = jax.shard_map(
+                    stack_fn, mesh=mesh,
+                    in_specs=(P("data"), P(None, "data"), P(None, "data"),
+                              P(), P(), P(), P()),
+                    out_specs=P("data"),
+                    check_vma=False)(x, sb, cond_proj, wd, bd, wo, bo)
+            else:
+                skip_sum = stack_fn(x, sb, cond_proj, wd, bd, wo, bo)
             x = (skip_sum * (1.0 / math.sqrt(n_layers))).astype(x.dtype)
             x = nn.conv1d(params["skip_projection"], x)
             x = jax.nn.relu(x)

@@ -147,6 +147,12 @@ class SVCTask:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            # declare the mesh for the fused pallas train kernel: on a
+            # data-only mesh models/diffnet.py wraps it in shard_map
+            # instead of forfeiting it to the scan (read at trace time)
+            from ..models import diffnet as _diffnet
+
+            _diffnet.set_train_mesh(self.mesh)
             repl = NamedSharding(self.mesh, P())
             batch_spec = self.batch_shardings()
             self._batch_spec = batch_spec

@@ -120,3 +120,81 @@ def test_diffnet_apply_training_grads():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_diffnet_apply_training_grads_shard_map():
+    """Multi-chip fused train kernel: with a data-only mesh declared via
+    set_train_mesh, the kernel runs inside shard_map (one pallas call per
+    device on its local batch shard). Loss and every parameter gradient
+    must match (a) the unsharded kernel bitwise-level and (b) the scan
+    path at the usual tolerance, on the 8-virtual-device CPU mesh."""
+    from diffsvc_tpu.parallel.mesh import make_mesh
+
+    cfg = diffnet.DiffNetConfig(
+        in_dims=16, encoder_hidden=32, residual_layers=L,
+        residual_channels=C, dilation_cycle_length=CYC)
+    cfg_k = cfg._replace(pallas_train="interpret")
+    cfg_off = cfg._replace(pallas_train="off")
+    params = diffnet.init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(0)
+    B = 8
+    spec = jnp.asarray(rng.randn(B, T, 16), jnp.float32)
+    tstep = jnp.asarray(rng.randint(0, 50, B), jnp.int32)
+    cond = jnp.asarray(rng.randn(B, T, 32) * 0.3, jnp.float32)
+    tgt = jnp.asarray(rng.randn(B, T, 16), jnp.float32)
+
+    def loss(c, p):
+        out = diffnet.apply(p, c, spec, tstep, cond)
+        return jnp.mean((out - tgt) ** 2)
+
+    # unsharded kernel (no mesh declared)
+    prev = diffnet.set_train_mesh(None)
+    try:
+        l_plain, g_plain = jax.value_and_grad(
+            lambda p: loss(cfg_k, p))(params)
+        l_scan, g_scan = jax.value_and_grad(
+            lambda p: loss(cfg_off, p))(params)
+
+        mesh = make_mesh(("data",))
+        assert mesh.shape["data"] == 8
+        diffnet.set_train_mesh(mesh)
+        l_sm, g_sm = jax.value_and_grad(lambda p: loss(cfg_k, p))(params)
+    finally:
+        diffnet.set_train_mesh(prev)
+
+    # (a) shard_map vs unsharded kernel: same kernel math on batch shards;
+    # only the dsb/dcp/weight-grad reductions reassociate (psum tree vs a
+    # flat batch sum) — ulp-level
+    np.testing.assert_allclose(float(l_sm), float(l_plain), rtol=1e-6)
+    flat_p = jax.tree_util.tree_leaves_with_path(g_plain)
+    flat_s = jax.tree.leaves(g_sm)
+    for (path, a), b in zip(flat_p, flat_s):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+    # (b) shard_map kernel vs scan: the existing integration tolerance
+    np.testing.assert_allclose(float(l_sm), float(l_scan), rtol=1e-5)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_scan)
+    for (path, a), b in zip(flat_r, jax.tree.leaves(g_sm)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_shardable_data_mesh_gating():
+    """seq-sharded or indivisible meshes must fall back to the scan."""
+    from diffsvc_tpu.parallel.mesh import make_mesh
+
+    prev = diffnet.set_train_mesh(None)
+    try:
+        assert diffnet._shardable_data_mesh(8) is None  # no mesh declared
+        mesh = make_mesh(("data",))
+        diffnet.set_train_mesh(mesh)
+        assert diffnet._shardable_data_mesh(8) is mesh
+        assert diffnet._shardable_data_mesh(6) is None  # indivisible batch
+        mesh2 = make_mesh(("data", "seq"), shape=(4, 2))
+        diffnet.set_train_mesh(mesh2)
+        assert diffnet._shardable_data_mesh(8) is None  # seq shards T
+    finally:
+        diffnet.set_train_mesh(prev)
