@@ -44,6 +44,12 @@ def main():
                          "the manifold (see runs/sampler_quality r4 notes)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny dims on CPU (smoke/regression)")
+    ap.add_argument("--real-wav", default=None,
+                    help="train on non-overlapping windows of this real "
+                         "vocal recording (tools/train_demo_tpu."
+                         "make_real_dataset) instead of synthetic singing "
+                         "— the real-data leg of the fast/turbo profile "
+                         "evidence (VERDICT r4 #5)")
     ap.add_argument("--out", default=os.path.join(REPO, "runs/sampler_quality"))
     ap.add_argument("--keep-ckpt", default=None,
                     help="after training, copy the work dir (checkpoints + "
@@ -67,7 +73,7 @@ def main():
     import numpy as np
     import yaml
 
-    from tools.train_demo_tpu import make_dataset
+    from tools.train_demo_tpu import make_dataset, make_real_dataset
 
     log(f"| device: {jax.devices()[0]}")
     scratch = tempfile.mkdtemp(prefix="sampler_quality_")
@@ -86,7 +92,12 @@ def main():
         dur = 2.0
 
     log("| building dataset ...")
-    make_dataset(f"{scratch}/raw", sr=sr, dur=dur, n_clips=args.n_clips)
+    if args.real_wav:
+        n_real = make_real_dataset(f"{scratch}/raw", args.real_wav, sr=sr,
+                                   dur=dur, n_clips=args.n_clips)
+        log(f"| real recording: {args.real_wav} -> {n_real} windows")
+    else:
+        make_dataset(f"{scratch}/raw", sr=sr, dur=dur, n_clips=args.n_clips)
 
     hp_dict = dict(
         audio_sample_rate=sr, audio_num_mel_bins=nmel, fft_size=nfft,
@@ -225,6 +236,8 @@ def main():
     summary = {
         "device": str(jax.devices()[0]), "backend": jax.default_backend(),
         "dims": "tiny" if args.tiny else "production 44.1k",
+        "data": (f"real:{os.path.basename(args.real_wav)}" if args.real_wav
+                 else "synthetic"),
         "train_steps": int(gstep), "held_out_items": int(b),
         "reference": "dpmpp interval 2 (~500 NFE), shared x_T",
         "cross_reference_l1": round(cross, 6),

@@ -150,6 +150,49 @@ def make_dataset(raw_dir, sr=44100, n_clips=16, dur=2.0, hidden=256):
         np.save(f"{raw_dir}/clip{i:02d}.npy", frames @ proj)
 
 
+def make_real_dataset(raw_dir, wav_path, sr=44100, n_clips=0, dur=2.0,
+                      hidden=256):
+    """Real-recording dataset in the make_dataset layout: cut a vocal wav
+    into non-overlapping ``dur``-second windows and emit clipNN.wav plus
+    content-correlated sidecar units (same fixed 320->hidden projection of
+    the 16 kHz frames as the synthetic recipe, so no hubert checkpoint is
+    needed). ``n_clips`` <= 0 keeps every full window."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from diffsvc_tpu.utils.audio_io import resample, save_wav
+
+    os.makedirs(raw_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    proj = (rng.randn(320, hidden) / np.sqrt(320)).astype(np.float32)
+    sr0, w = wavfile.read(wav_path)
+    if w.ndim > 1:
+        w = w.mean(-1)
+    if np.issubdtype(w.dtype, np.integer):
+        # iinfo.max (32767 for int16) — matches FusedSvc.to_float
+        w = w.astype(np.float32) / float(np.iinfo(w.dtype).max)
+    w = w.astype(np.float32)
+    if sr0 != sr:
+        w = resample(w, sr0, sr)
+    n = int(sr * dur)
+    starts = list(range(0, len(w) - n + 1, n))
+    if n_clips and n_clips > 0:
+        starts = starts[:n_clips]
+    for i, s in enumerate(starts):
+        wav = np.asarray(w[s:s + n], np.float32)
+        save_wav(wav, f"{raw_dir}/clip{i:02d}.wav", sr)
+        n16 = int(len(wav) * 16000 / sr)
+        t = np.arange(len(wav)) / sr
+        wav16 = np.interp(np.arange(n16) / 16000, t, wav).astype(np.float32)
+        n_units = max((n16 + 2 * 40) // 320, 1)
+        frames = np.zeros((n_units, 320), np.float32)
+        for j in range(n_units):
+            seg = wav16[j * 320: j * 320 + 320]
+            frames[j, : len(seg)] = seg
+        np.save(f"{raw_dir}/clip{i:02d}.npy", frames @ proj)
+    return len(starts)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
