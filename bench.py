@@ -214,6 +214,36 @@ def main():
     log(f"| sampling-loop FLOPs: {flops/1e12:.2f} TFLOP over {NFE} NFE, "
         f"MFU {100*mfu:.1f}% wall / {100*mfu_dev:.1f}% device-est "
         f"of {peak/1e12:.0f} TFLOP/s peak")
+
+    # PRODUCTION-path sampling MFU: the same loop in bf16, which is what
+    # the fused serving graph runs per NFE (and what takes the Pallas
+    # stack kernel on TPU). The fp32 `diffusion` leg above deliberately
+    # keeps the XLA scan (the quality-reference path; the kernel gate
+    # rejects fp32 because Mosaic f32 dots are single-pass bf16), so the
+    # two MFU fields measure DIFFERENT code paths — reconciled per-NFE in
+    # tools/mfu_decompose.py / BASELINE.md r5.
+    hp16 = type(hp)(hp)
+    hp16["diff_compute_dtype"] = "bfloat16"
+    model16 = GaussianDiffusion(hp16)
+    infer16_fn = jax.jit(lambda p, b, r: model16.infer(p, b, r,
+                                                       speedup=SPEEDUP))
+    batch16 = {k: last_batch[k] for k in
+               ("hubert", "mel2ph", "f0", "uv", "mels")}
+    infer16_fn(params, batch16,
+               jax.random.PRNGKey(3))["mel_out"].block_until_ready()
+    t16_best, rtt16_best = float("inf"), None
+    for _ in range(3):
+        rtt_i = rtt_probe()
+        t0 = time.time()
+        infer16_fn(params, batch16,
+                   jax.random.PRNGKey(3))["mel_out"].block_until_ready()
+        wall = time.time() - t0
+        if wall < t16_best:
+            t16_best, rtt16_best = wall, rtt_i
+    t16_dev = max(t16_best - rtt16_best, 1e-6)
+    mfu16_dev = flops / t16_dev / peak
+    log(f"| bf16 sampling loop (production path): {t16_best:.3f}s wall / "
+        f"{t16_dev:.3f}s device-est -> MFU {100*mfu16_dev:.1f}% device-est")
     log(f"| modular end-to-end RTF: {rtf_modular:.4f}")
 
     # ---- fused single-dispatch graph (the serving path) ----
@@ -476,6 +506,7 @@ def main():
         "rtf_device_est": round(rtf_dev, 5) if rtf_dev == rtf_dev else None,
         "headline_spread_x": round(spread, 2),
         "mfu_sampling_device_pct": round(100 * mfu_dev, 1),
+        "mfu_sampling_bf16_device_pct": round(100 * mfu16_dev, 1),
         "mfu_fused_device_pct": (round(100 * mfu_fused_dev, 1)
                                  if mfu_fused_dev == mfu_fused_dev else None),
         "rtf_fp32": round(rtf_fused, 5),
