@@ -128,4 +128,48 @@ assert np.isfinite(data.astype(np.float64)).all()
 ratio = len(data) / len(wav_in)
 print(f"infer OK: {outs[0]} sr={rate} len_ratio={ratio:.4f}", flush=True)
 assert abs(ratio - 1.0) < 1e-6, ratio  # parity mode: exact length
+
+# --- 4. warm start: the persistent compile cache must survive processes ---
+# (VERDICT r4 #8: flask --warmup's 20-70 s/bucket cold compiles happen once
+# per machine, not once per server start). Two fresh subprocesses compile
+# the same jit program against one cache dir; the second must be a cache
+# HIT — asserted on content (the dir gains entries in run 1 and none in
+# run 2) rather than wall time, which is noisy on a loaded host.
+print("=== warm start (persistent compile cache) ===", flush=True)
+import subprocess
+import tempfile as _tf
+
+cache_dir = os.path.join(_tf.mkdtemp(prefix="verify_cc_"), "xla")
+child = (
+    "import jax, time\n"
+    "jax.config.update('jax_platforms','cpu')\n"
+    "from diffsvc_tpu.utils.compile_cache import enable\n"
+    "enable()\n"
+    # enable() pins min_compile_time to 1.0 s (right for the 20-70 s
+    # production programs); this probe program is tiny, so lower it
+    "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+    "import jax.numpy as jnp\n"
+    "f = jax.jit(lambda x: jnp.tanh(x @ x) @ x)\n"
+    "t0 = time.time()\n"
+    "f(jnp.ones((512, 512))).block_until_ready()\n"
+    "print('compile_s', time.time() - t0)\n")
+env = dict(os.environ, DIFFSVC_COMPILE_CACHE=cache_dir,
+           PYTHONPATH=REPO,
+           JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0")
+times = []
+for tag in ("cold", "warm"):
+    r = subprocess.run([sys.executable, "-c", child], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    n_entries = sum(len(fs) for _, _, fs in os.walk(cache_dir))
+    t = float(r.stdout.split("compile_s")[1].split()[0])
+    times.append(t)
+    print(f"warm-start {tag}: first-call {t:.2f}s, "
+          f"cache entries {n_entries}", flush=True)
+    if tag == "cold":
+        assert n_entries > 0, "compile cache dir never populated"
+        cold_entries = n_entries
+assert n_entries == cold_entries, (
+    "second process MISSED the persistent compile cache "
+    f"(entries grew {cold_entries} -> {n_entries})")
 print("ALL VERIFY STEPS PASSED", flush=True)
