@@ -243,10 +243,23 @@ def warmup_fused(model, acc: int, max_seconds: float) -> int:
     for i in range(1, n_buckets + 1):
         t0 = time.time()
         silent = np.zeros(i * bucket, np.float32)
-        out, _, _ = model.infer_fused(silent, key=0, acc=acc)
+        # a tunneled remote_compile can fail transiently (connection reset
+        # mid-body); the compiled program is cached on success, so a retry
+        # only re-pays the failed bucket — never die during pre-serving
+        # warmup for a blip the live server would have survived
+        for attempt in range(3):
+            try:
+                out, _, _ = model.infer_fused(silent, key=0, acc=acc)
+                break
+            except Exception as e:
+                if attempt == 2:
+                    raise
+                print(f"| warmup bucket {i} attempt {attempt + 1} failed "
+                      f"({e}); retrying in 15s", flush=True)
+                time.sleep(15)
         np.asarray(out[-4:])  # block: a host read cannot return early
         print(f"| warmed bucket {i}/{n_buckets} ({i * bucket / sr:.2f}s "
-              f"buffer) in {time.time() - t0:.1f}s")
+              f"buffer) in {time.time() - t0:.1f}s", flush=True)
     return n_buckets
 
 
