@@ -407,6 +407,78 @@ class GaussianDiffusion:
             return out.astype(jnp.float32)
         return fn
 
+    def _try_plms_ladder(self, params, cond, x, t_start: int, interval: int,
+                         clip_v: float):
+        """Whole-ladder Pallas sampling (ops/pallas/plms_ladder.py): every
+        PLMS evaluation AND the sampler update in one kernel, x resident in
+        VMEM across the trajectory.  Returns the sampled x, or None when
+        the configuration keeps the scan (flag off, non-wavenet decoder,
+        x0-clipping, batch > 1, fp32 sampling, off-TPU, or unaligned
+        shapes).  ``sampler_pallas_ladder: auto`` enables it for bf16 TPU
+        serving; numerics parity with the scan is tested in
+        tests/test_plms_ladder.py."""
+        mode = str(self.hp.get("sampler_pallas_ladder", "off")).lower()
+        if mode not in ("auto", "on", "interpret"):
+            return None
+        if self.decoder_type != "wavenet" or clip_v > 0 or x.shape[0] != 1:
+            return None
+        from ..ops.pallas import plms_ladder as _pl
+
+        cfg = self.net_cfg
+        interp = mode == "interpret"
+        dtype = jnp.bfloat16 if str(self.hp.get("diff_compute_dtype", "")) in (
+            "bf16", "bfloat16") else jnp.float32
+        esz = 2 if interp else jnp.dtype(dtype).itemsize
+        want = interp or jax.default_backend() == "tpu"
+        _, t_mel, m = x.shape
+        if not (want and _pl.supported_ladder(
+                cfg.residual_layers, cfg.dilation_cycle_length, t_mel,
+                cfg.residual_channels, m, esize=esz)):
+            return None
+
+        def cast(tree):
+            return jax.tree.map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+                tree)
+
+        dn = params["denoise_fn"]
+        dnc = cast(dn)
+        # hoisted conditioner exactly like _denoise_closure: projected in
+        # f32, cast once
+        cond_proj = cast(self._dec.prepare_cond(dn, cond))[:, 0]  # [L,T,2C]
+
+        # per-eval step biases through the (compute-dtype) step MLP — the
+        # same math diffnet.apply runs per evaluation, batched over evals
+        from . import nn
+        t_eval_np, scal_np = _pl.plms_eval_tables(
+            self.tables["alphas_cumprod"], t_start, interval, m)
+        stp = nn.sinusoidal_pos_emb(jnp.asarray(t_eval_np),
+                                    cfg.residual_channels)
+        stp = nn.linear(dnc["mlp"]["w1"], stp)
+        stp = nn.mish(stp)
+        stp = nn.linear(dnc["mlp"]["w2"], stp).astype(dtype)  # [J, C]
+        dp = dnc["layers"]["diffusion_projection"]
+        sb = (jnp.einsum("jc,lcd->jld", stp, dp["w"])
+              + dp["b"][None, :, :]).astype(dtype)            # [J, L, C]
+        n_evals, n_layers = sb.shape[0], cfg.residual_layers
+
+        out = _pl.plms_ladder(
+            x[0].astype(jnp.float32), jnp.asarray(scal_np),
+            sb.reshape(n_evals * n_layers, 1, -1), cond_proj,
+            dnc["input_projection"]["w"][0],
+            dnc["input_projection"]["b"][None, :],
+            dnc["skip_projection"]["w"][0],
+            dnc["skip_projection"]["b"][None, :],
+            dnc["output_projection"]["w"][0],
+            dnc["output_projection"]["b"][None, :],
+            dnc["layers"]["dilated_conv"]["w"],
+            dnc["layers"]["dilated_conv"]["b"][:, None, :],
+            dnc["layers"]["output_projection"]["w"][:, 0],
+            dnc["layers"]["output_projection"]["b"][:, None, :],
+            cycle=cfg.dilation_cycle_length, n_layers=n_layers,
+            interpret=interp)
+        return out[None]
+
     def training_loss(self, params, batch, rng, train: bool = True):
         """batch: dict with hubert, mel2ph, f0, uv, energy, mels [B,T,M].
 
@@ -490,7 +562,10 @@ class GaussianDiffusion:
                                        grid=str(self.hp.get("dpmpp_grid",
                                                             "lambda")))
         elif speedup and speedup > 1:
-            x = p_sample_plms_scan(self.tables, denoise_fn, x, t_start, int(speedup))
+            xl = self._try_plms_ladder(params, cond, x, t_start,
+                                       int(speedup), clip_v)
+            x = xl if xl is not None else p_sample_plms_scan(
+                self.tables, denoise_fn, x, t_start, int(speedup))
         else:
             x = p_sample_ddpm_scan(self.tables, denoise_fn, x, t_start, samp_rng)
 

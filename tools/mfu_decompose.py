@@ -56,7 +56,7 @@ def main():
                     help="chained kernel/step iterations inside one jit — "
                          "must put device time WELL above the tunnel-RTT "
                          "jitter (±5 ms): at 32 the kernel level measured "
-                         "inside the noise floor and printed >100% MFU")
+                         "inside the noise floor and printed >100%% MFU")
     ap.add_argument("--loop-reps", type=int, default=8,
                     help="back-to-back async sampling-loop dispatches per "
                          "timed fetch (the CLAUDE.md K=8 protocol)")
@@ -258,6 +258,41 @@ def main():
     results["mfu_loop_fp32_pct"] = round(100 * flops_step / t_loop32 / peak, 1)
     results["mfu_loop_bf16_pct"] = round(100 * flops_step / t_loop16 / peak, 1)
 
+    # ---- level 4: the whole-ladder kernel (ops/pallas/plms_ladder.py):
+    # every evaluation AND the PLMS update inside one pallas_call, x
+    # resident in VMEM across the trajectory — the candidate answer to the
+    # measured sampler-bookkeeping overhead. Also records its accuracy
+    # against the bf16 scan and the fp32 quality reference.
+    hp_lad = dict(hp16)
+    hp_lad["sampler_pallas_ladder"] = "interpret" if args.smoke else "on"
+    model_lad = GaussianDiffusion(HParams(**hp_lad))
+    loop_lad = jax.jit(lambda p, b, r: model_lad.infer(p, b, r,
+                                                       speedup=SPEEDUP))
+    lad_reps = 1 if args.smoke else reps  # interpret mode is minutes/rep
+
+    def lad_go():
+        out = None
+        for _ in range(lad_reps):
+            out = loop_lad(params, batch, jax.random.PRNGKey(3))
+        return out
+
+    t_lad = timed("loop_ladder (whole-ladder pallas kernel)", lad_go,
+                  lambda o: np.asarray(o["mel_out"][0, -1, -2:]),
+                  NFE * lad_reps, rounds=1 if args.smoke else None)
+    results["loop_ladder_per_nfe_us"] = t_lad * 1e6
+    results["mfu_loop_ladder_pct"] = round(100 * flops_step / t_lad / peak, 1)
+    o_lad = np.asarray(loop_lad(params, batch,
+                                jax.random.PRNGKey(3))["mel_out"])
+    o_16 = np.asarray(loop16(params, batch, jax.random.PRNGKey(3))["mel_out"])
+    o_32 = np.asarray(loop32(params, batch, jax.random.PRNGKey(3))["mel_out"])
+    results["ladder_vs_scan16_maxabs"] = float(np.abs(o_lad - o_16).max())
+    results["ladder_vs_fp32_meanabs"] = float(np.abs(o_lad - o_32).mean())
+    results["scan16_vs_fp32_meanabs"] = float(np.abs(o_16 - o_32).mean())
+    log(f"| ladder accuracy: vs bf16 scan max|d| "
+        f"{results['ladder_vs_scan16_maxabs']:.4f}; vs fp32 mean|d| "
+        f"{results['ladder_vs_fp32_meanabs']:.4f} (bf16 scan itself: "
+        f"{results['scan16_vs_fp32_meanabs']:.4f})")
+
     # ---- derived decomposition ----
     if "kernel_bf16_us" in results:
         results["step_minus_kernel_us"] = round(
@@ -278,6 +313,8 @@ def main():
         f"{results['sampler_overhead_bf16_us']} us")
     log(f"|   = loop per NFE:       {results['loop_bf16_per_nfe_us']:.0f} us "
         f"({results['mfu_loop_bf16_pct']}% MFU)")
+    log(f"|   whole-ladder kernel:  {results['loop_ladder_per_nfe_us']:.0f}"
+        f" us/NFE ({results['mfu_loop_ladder_pct']}% MFU)")
     log(f"| fp32 (quality-reference, = bench modular leg): step "
         f"{results['step_fp32_us']:.0f} us ({results['mfu_step_fp32_pct']}%)"
         f", loop/NFE {results['loop_fp32_per_nfe_us']:.0f} us "
