@@ -62,10 +62,16 @@ def main():
                          "timed fetch (the CLAUDE.md K=8 protocol)")
     ap.add_argument("--rounds", type=int, default=4,
                     help="timed dispatches per measurement (min taken)")
-    ap.add_argument("--out", default="runs/mfu_decompose")
+    ap.add_argument("--out", default=None,
+                    help="output dir (default runs/mfu_decompose; --smoke "
+                         "defaults to runs/mfu_decompose_smoke so a CPU "
+                         "smoke never clobbers the TPU artifact)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny dims on CPU: protocol check only")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = ("runs/mfu_decompose_smoke" if args.smoke
+                    else "runs/mfu_decompose")
 
     import jax
 
