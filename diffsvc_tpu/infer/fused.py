@@ -335,8 +335,17 @@ class FusedSvc:
             # sample axis becomes a leading grid dimension; parity tested
             # in tests/test_diffnet_stack.py), so the batched graph keeps
             # it.  The Pallas vocoder TAIL stays off here: its manual DMA
-            # windows over an ANY-space ref do not lift under vmap.
-            fused = self._build(n44, use_voc_tail=False)
+            # windows over an ANY-space ref do not lift under vmap.  The
+            # whole-ladder sampler kernel is also off: its VMEM scratch
+            # carries sampler state across sequential grid steps, which a
+            # lifted batch grid dimension would interleave (and the B==1
+            # gate cannot see the vmap from inside the per-sample trace).
+            from ..models.diffusion import GaussianDiffusion
+
+            hp_b = dict(self.hp)
+            hp_b["sampler_pallas_ladder"] = "off"
+            fused = self._build(n44, model=GaussianDiffusion(hp_b),
+                                use_voc_tail=False)
             self._fns[key] = jax.jit(jax.vmap(
                 fused, in_axes=(None, None, None, 0, 0, 0, None)))
         return self._fns[key]
@@ -428,6 +437,7 @@ class FusedSvc:
         if key not in self._fns:
             hp_b = dict(self.hp)
             hp_b["diffnet_pallas"] = "off"   # not vmap/shard-safe
+            hp_b["sampler_pallas_ladder"] = "off"  # sequential-grid scratch
             fused = self._build(n44, model=GaussianDiffusion(hp_b),
                                 use_voc_tail=False)
             vm = jax.vmap(fused, in_axes=(None, None, None, 0, 0, 0, None))
