@@ -344,6 +344,10 @@ def main():
     hp_dpm = dict(hp_io)
     hp_dpm["sampler"] = "dpmpp"
     hp_dpm["pndm_speedup"] = 50
+    # the shipped profiles ride the whole-ladder kernel since r5 (the
+    # superset program covers dpmpp and the turbo x0-clamp; parity in
+    # tests/test_plms_ladder.py), same as configs/base.yaml's auto default
+    hp_dpm["sampler_pallas_ladder"] = "auto"
     variants["dpmpp50_int16"] = FusedSvc(
         hp_dpm, params, voc_best, hubert_params=hub_params,
         hubert_cfg=hub_cfg, speedup=50)

@@ -408,19 +408,20 @@ class GaussianDiffusion:
         return fn
 
     def _try_plms_ladder(self, params, cond, x, t_start: int, interval: int,
-                         clip_v: float):
+                         clip_v: float, sampler: str = "plms"):
         """Whole-ladder Pallas sampling (ops/pallas/plms_ladder.py): every
-        PLMS evaluation AND the sampler update in one kernel, x resident in
-        VMEM across the trajectory.  Returns the sampled x, or None when
-        the configuration keeps the scan (flag off, non-wavenet decoder,
-        x0-clipping, batch > 1, fp32 sampling, off-TPU, or unaligned
-        shapes).  ``sampler_pallas_ladder: auto`` enables it for bf16 TPU
-        serving; numerics parity with the scan is tested in
+        denoiser evaluation AND the sampler update in one kernel, x
+        resident in VMEM across the trajectory; covers PLMS and
+        DPM-Solver++(2M), each with optional sampler_clip_x0.  Returns the
+        sampled x, or None when the configuration keeps the scan (flag
+        off, non-wavenet decoder, batch > 1, fp32 sampling, off-TPU, or
+        unaligned shapes).  ``sampler_pallas_ladder: auto`` enables it for
+        bf16 TPU serving; numerics parity with the scans is tested in
         tests/test_plms_ladder.py."""
         mode = str(self.hp.get("sampler_pallas_ladder", "off")).lower()
         if mode not in ("auto", "on", "interpret"):
             return None
-        if self.decoder_type != "wavenet" or clip_v > 0 or x.shape[0] != 1:
+        if self.decoder_type != "wavenet" or x.shape[0] != 1:
             return None
         from ..ops.pallas import plms_ladder as _pl
 
@@ -450,8 +451,14 @@ class GaussianDiffusion:
         # per-eval step biases through the (compute-dtype) step MLP — the
         # same math diffnet.apply runs per evaluation, batched over evals
         from . import nn
-        t_eval_np, scal_np = _pl.plms_eval_tables(
-            self.tables["alphas_cumprod"], t_start, interval, m)
+        if sampler == "dpmpp":
+            t_eval_np, scal_np = _pl.dpmpp_eval_tables(
+                self.tables["alphas_cumprod"], t_start, interval, m,
+                grid=str(self.hp.get("dpmpp_grid", "lambda")))
+        else:
+            t_eval_np, scal_np = _pl.plms_eval_tables(
+                self.tables["alphas_cumprod"], t_start, interval, m,
+                clip=clip_v > 0)
         stp = nn.sinusoidal_pos_emb(jnp.asarray(t_eval_np),
                                     cfg.residual_channels)
         stp = nn.linear(dnc["mlp"]["w1"], stp)
@@ -476,7 +483,7 @@ class GaussianDiffusion:
             dnc["layers"]["output_projection"]["w"][:, 0],
             dnc["layers"]["output_projection"]["b"][:, None, :],
             cycle=cfg.dilation_cycle_length, n_layers=n_layers,
-            interpret=interp)
+            clip_v=clip_v, interpret=interp)
         return out[None]
 
     def training_loss(self, params, batch, rng, train: bool = True):
@@ -557,10 +564,12 @@ class GaussianDiffusion:
                 x0 = jnp.clip(x0, -clip_v, clip_v)
                 return (xv - a * x0) / s
         if speedup and speedup > 1 and sampler in ("dpmpp", "dpm++", "dpm_solver"):
-            x = p_sample_dpmpp_2m_scan(self.tables, denoise_fn, x, t_start,
-                                       int(speedup),
-                                       grid=str(self.hp.get("dpmpp_grid",
-                                                            "lambda")))
+            xl = self._try_plms_ladder(params, cond, x, t_start,
+                                       int(speedup), clip_v,
+                                       sampler="dpmpp")
+            x = xl if xl is not None else p_sample_dpmpp_2m_scan(
+                self.tables, denoise_fn, x, t_start, int(speedup),
+                grid=str(self.hp.get("dpmpp_grid", "lambda")))
         elif speedup and speedup > 1:
             xl = self._try_plms_ladder(params, cond, x, t_start,
                                        int(speedup), clip_v)

@@ -1,7 +1,8 @@
-"""Whole-ladder PLMS Pallas kernel (ops/pallas/plms_ladder.py) vs the
-lax.scan sampler: full-wiring parity through GaussianDiffusion.infer in
+"""Whole-ladder sampling Pallas kernel (ops/pallas/plms_ladder.py) vs the
+lax.scan samplers: full-wiring parity through GaussianDiffusion.infer in
 interpret mode on CPU, where f32 dots are true f32 (on the real TPU the
-kernel is bf16-gated exactly like the residual-stack kernel)."""
+kernel is bf16-gated exactly like the residual-stack kernel).  Covers
+PLMS, DPM-Solver++(2M) on both grids, and sampler_clip_x0 for each."""
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +89,40 @@ def test_ladder_single_step_grid():
     np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-4)
 
 
+def test_ladder_plms_clip_x0():
+    """sampler_clip_x0 with PLMS: the kernel's static clamp + eps rewrite
+    must match the scan's clipped denoise_fn wrapper.  A tight clip so
+    the clamp actually engages on this random score."""
+    a, b = _run_pair({"sampler_clip_x0": 1.0})
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, atol=3e-4, rtol=1e-4)
+    # the clamp must actually bind somewhere for this to test anything
+    c, _ = _run_pair({})
+    assert np.abs(a - c).max() > 1e-3
+
+
+def test_ladder_dpmpp_lambda_grid():
+    """DPM-Solver++(2M) on the default uniform-log-SNR grid (the shipped
+    fast profile's sampler)."""
+    a, b = _run_pair({"sampler": "dpmpp"})
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, atol=3e-4, rtol=1e-4)
+
+
+def test_ladder_dpmpp_t_grid():
+    a, b = _run_pair({"sampler": "dpmpp", "dpmpp_grid": "t"})
+    np.testing.assert_allclose(b, a, atol=3e-4, rtol=1e-4)
+
+
+def test_ladder_dpmpp_clip_turbo():
+    """dpmpp + x0 clamp at an aggressive interval = the shipped TURBO
+    profile's configuration (configs/config_44k_turbo.yaml)."""
+    a, b = _run_pair({"sampler": "dpmpp", "sampler_clip_x0": 1.0,
+                      "pndm_speedup": 13})
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, atol=3e-4, rtol=1e-4)
+
+
 def test_ladder_gates():
     """Configurations that must fall back to the scan return None from
     _try_plms_ladder (and infer still works)."""
@@ -95,9 +130,6 @@ def test_ladder_gates():
     model = GaussianDiffusion(hp)
     params = model.init_params(jax.random.PRNGKey(0))
     x = jnp.zeros((1, 128, 128))
-    # clip on -> scan
-    assert model._try_plms_ladder(params, jnp.zeros((1, 128, 16)), x,
-                                  40, 7, clip_v=4.0) is None
     # batch > 1 -> scan
     assert model._try_plms_ladder(params, jnp.zeros((2, 128, 16)),
                                   jnp.zeros((2, 128, 128)), 40, 7, 0.0) is None
@@ -117,13 +149,30 @@ def test_eval_tables_shape_and_bootstrap():
     n = -(-40 // 7)  # 6 steps
     assert t_eval.shape == (n + 1,) and scal.shape == (n + 1, PL.NS, 128)
     assert t_eval[0] == 35 and t_eval[1] == 28  # t0, t0 - interval
+    # rows: p q e0 e1 w0 w1 w2 w3 u v sel push
+    # plain PLMS: f = eps (p=0, q=1, e0=0, e1=1)
+    np.testing.assert_allclose(scal[:, 0, 0], 0.0)
+    np.testing.assert_allclose(scal[:, 1, 0], 1.0)
     # bootstrap: j=0 does not update x but pushes; j=1 updates, no push
-    sel, push = scal[:, 7, 0], scal[:, 8, 0]
+    sel, push = scal[:, 10, 0], scal[:, 11, 0]
     assert sel[0] == 0.0 and push[0] == 1.0
     assert sel[1] == 1.0 and push[1] == 0.0
     assert (sel[2:] == 1.0).all() and (push[2:] == 1.0).all()
     # order ramp weights: j=1 averages the two bootstrap evals
-    np.testing.assert_allclose(scal[1, 3:7, 0], [0.5, 0.5, 0, 0])
-    np.testing.assert_allclose(scal[2, 3:7, 0], [1.5, -0.5, 0, 0])
-    np.testing.assert_allclose(scal[4, 3:7, 0],
+    np.testing.assert_allclose(scal[1, 4:8, 0], [0.5, 0.5, 0, 0])
+    np.testing.assert_allclose(scal[2, 4:8, 0], [1.5, -0.5, 0, 0])
+    np.testing.assert_allclose(scal[4, 4:8, 0],
                                [55 / 24, -59 / 24, 37 / 24, -9 / 24])
+
+
+def test_dpmpp_tables_final_eval():
+    ac = np.cumprod(1 - np.linspace(1e-4, 0.02, 40))
+    t_eval, scal = PL.dpmpp_eval_tables(ac, 40, 7, 128)
+    assert t_eval[-1] == 0
+    # final eval returns the data prediction: x' = g (u=0, v=1, w0=1)
+    assert scal[-1, 8, 0] == 0.0 and scal[-1, 9, 0] == 1.0
+    np.testing.assert_allclose(scal[-1, 4:8, 0], [1, 0, 0, 0])
+    # every eval predicts x0 (p = 1/alpha > 1, e1 = 1) and pushes except
+    # the last
+    assert (scal[:, 0, 0] >= 1.0).all() and (scal[:, 3, 0] == 1.0).all()
+    assert (scal[:-1, 11, 0] == 1.0).all() and scal[-1, 11, 0] == 0.0
