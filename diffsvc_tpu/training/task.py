@@ -144,15 +144,18 @@ class SVCTask:
             return new_state, metrics
 
         self._raw_step = train_step
+        # declare the mesh for the fused pallas train kernel: on a
+        # data-only mesh models/diffnet.py wraps it in shard_map instead
+        # of forfeiting it to the scan (read at trace time). Declared
+        # UNCONDITIONALLY: a mesh-less task must clear any mesh a
+        # previous task in the same process installed, or its traces
+        # would shard_map over devices it never declared.
+        from ..models import diffnet as _diffnet
+
+        _diffnet.set_train_mesh(self.mesh)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            # declare the mesh for the fused pallas train kernel: on a
-            # data-only mesh models/diffnet.py wraps it in shard_map
-            # instead of forfeiting it to the scan (read at trace time)
-            from ..models import diffnet as _diffnet
-
-            _diffnet.set_train_mesh(self.mesh)
             repl = NamedSharding(self.mesh, P())
             batch_spec = self.batch_shardings()
             self._batch_spec = batch_spec

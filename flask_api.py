@@ -55,46 +55,90 @@ def _convert_floats(model, acc, wav: np.ndarray, f_pitch_change: float,
     return audio[: len(wav)]
 
 
-def _infer_wav(model, acc, wav_bytes: bytes, f_pitch_change: float,
+def _stream_response(stream, wav: np.ndarray, f_pitch_change: float
+                     ) -> np.ndarray:
+    """One streaming request -> exactly ``len(wav)`` output samples.
+
+    StreamingConverter accumulates sub-crossfade buffers internally and
+    releases them in bursts, so its per-call output length is NOT the
+    posted length. An output FIFO on the stream restores the per-response
+    duration contract the VST protocol needs:
+
+    - posted buffers >= one crossfade (the non-accumulating regime):
+      the first response is zero-padded at the head by the crossfade
+      delay, later responses are full — identical to the pre-FIFO
+      behavior;
+    - sub-crossfade buffers (256-1024-sample DAW blocks): responses are
+      all-zero until roughly TWO accumulation periods of audio are
+      queued, then the stream plays continuously. The extra period of
+      buffering is what guarantees no mid-stream silence gaps between
+      bursts (a head-padded release would starve until the next burst).
+      Latency is constant per block size; changing the DAW block size
+      mid-stream restarts the fill.
+    """
+    idle = getattr(stream, "idle_reset_s", 0.0)
+    last = getattr(stream, "last_call_t", None)
+    if idle and last is not None and time.time() - last > idle:
+        # the DAW paused: the held tail/context belong to a take that
+        # ended — drop them instead of crossfading stale audio into the
+        # new one (the restarted stream re-pays its head-fill delay)
+        stream.flush()
+        stream.out_queue = np.zeros(0, np.float32)
+        stream.emitted_real = False
+    stream.pitch = f_pitch_change
+    _audio = stream(wav)
+    # stamped AFTER converting: a slow first call (cold XLA compile)
+    # must not read as an idle gap for the request right behind it
+    stream.last_call_t = time.time()
+    q = np.concatenate([getattr(stream, "out_queue",
+                                np.zeros(0, np.float32)), _audio])
+    n = len(wav)
+    if len(q) >= n:
+        out, q = q[:n], q[n:]
+        stream.emitted_real = True
+    elif len(wav) >= stream.C and not getattr(stream, "emitted_real", False):
+        # big-buffer first response: head-fill with the crossfade delay
+        # (steady state returns len(wav) per call, so this never starves)
+        out = np.concatenate([np.zeros(n - len(q), np.float32), q])
+        stream.emitted_real = len(q) > 0
+        q = np.zeros(0, np.float32)
+    else:
+        # sub-crossfade fill: withhold until a full response is queued —
+        # emitting a partial burst now would leave a silence gap before
+        # the next one
+        out = np.zeros(n, np.float32)
+    stream.out_queue = q
+    return out
+
+
+def _infer_wav(model, acc, wav: np.ndarray, f_pitch_change: float,
                daw_sample: int, fused: bool = False, stream=None) -> bytes:
-    input_wav = io.BytesIO(wav_bytes)
+    """Decoded float32 wav @ model sr -> response wav bytes @ daw rate.
+
+    Decoding happens in the HTTP handler (so undecodable uploads map to
+    4xx and everything here maps to 5xx)."""
     if stream is not None:
         # click-free continuous mode (beyond reference): left context +
         # held-tail crossfade across consecutive DAW buffers
-        # (diffsvc_tpu/infer/streaming.py). The first response is
-        # zero-padded at the head so every response keeps the posted
-        # buffer's duration (the stream runs crossfade_ms late).
-        from diffsvc_tpu.utils.audio_io import load_wav
-
-        wav, _ = load_wav(input_wav, sr=model.hp["audio_sample_rate"])
-        idle = getattr(stream, "idle_reset_s", 0.0)
-        last = getattr(stream, "last_call_t", None)
-        if idle and last is not None and time.time() - last > idle:
-            # the DAW paused: the held tail/context belong to a take
-            # that ended — drop them instead of crossfading stale audio
-            # into the new one (the restarted stream re-pays its one
-            # crossfade of head delay)
-            stream.flush()
-        stream.pitch = f_pitch_change
-        _audio = stream(wav)
-        # stamped AFTER converting: a slow first call (cold XLA compile)
-        # must not read as an idle gap for the request right behind it
-        stream.last_call_t = time.time()
-        if len(_audio) < len(wav):
-            _audio = np.concatenate(
-                [np.zeros(len(wav) - len(_audio), np.float32), _audio])
+        # (diffsvc_tpu/infer/streaming.py). Every response keeps the
+        # posted buffer's duration (see _stream_response).
+        _audio = _stream_response(stream, wav, f_pitch_change)
     elif fused:
         # bounded-latency path: the whole pipeline is one XLA program per
         # length bucket (set fused_bucket_samples in the config to bound
         # the number of compiled buckets for streaming buffers); int16
         # device output halves the device->host copy (doc/performance.md)
-        from diffsvc_tpu.utils.audio_io import load_wav
-
-        wav, _ = load_wav(input_wav, sr=model.hp["audio_sample_rate"])
         _audio = _convert_floats(model, acc, wav, f_pitch_change, fused=True)
     else:
+        # modular reference path consumes a wav file object; the posted
+        # audio is PCM16 per the VST protocol, so re-encoding the decoded
+        # floats is a lossless round trip
+        buf = io.BytesIO()
+        wavfile.write(buf, model.hp["audio_sample_rate"],
+                      (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+        buf.seek(0)
         _f0_tst, _f0_pred, _audio = model.infer(
-            input_wav, key=f_pitch_change, acc=acc, use_pe=False,
+            buf, key=f_pitch_change, acc=acc, use_pe=False,
             use_crepe=False)
     tar = resample(np.asarray(_audio, np.float32),
                    model.hp["audio_sample_rate"], daw_sample)
@@ -175,16 +219,26 @@ def make_handler(model, accelerate, fused=False, stream=None):
                 self.send_error(400, "missing 'sample' file field")
                 return
             try:
-                with infer_lock:
-                    body = _infer_wav(model, accelerate, wav_bytes,
-                                      f_pitch_change, daw_sample,
-                                      fused=fused, stream=stream)
+                # decode SEPARATELY from inference so only undecodable
+                # uploads map to 4xx (scipy wavfile raises ValueError /
+                # struct.error / KeyError / EOFError depending on where
+                # the file is cut); a ValueError raised later inside the
+                # model is a server fault and must surface as 500
+                from diffsvc_tpu.utils.audio_io import load_wav
+
+                wav, _ = load_wav(io.BytesIO(wav_bytes),
+                                  sr=model.hp["audio_sample_rate"])
             except (ValueError, EOFError, KeyError, struct.error) as e:
-                # undecodable/truncated upload -> client error, not 500
-                # (scipy wavfile raises ValueError / struct.error / KeyError
-                # depending on where the file is cut)
                 self.send_error(400, f"bad wav upload: {e}")
                 return
+            if len(wav) == 0:
+                self.send_error(400, "empty wav upload")
+                return
+            try:
+                with infer_lock:
+                    body = _infer_wav(model, accelerate, wav,
+                                      f_pitch_change, daw_sample,
+                                      fused=fused, stream=stream)
             except Exception as e:  # pragma: no cover
                 self.send_error(500, str(e))
                 return
@@ -210,11 +264,14 @@ def make_flask_app(model, accelerate):  # pragma: no cover - optional dep
 
     @app.route("/voiceChangeModel", methods=["POST"])
     def voice_change_model():
+        from diffsvc_tpu.utils.audio_io import load_wav
+
         wave_file = request.files.get("sample", None)
         f_pitch_change = float(request.form.get("fPitchChange", 0))
         daw_sample = int(float(request.form.get("sampleRate", 0)))
-        body = _infer_wav(model, accelerate, wave_file.read(),
-                          f_pitch_change, daw_sample)
+        wav, _ = load_wav(io.BytesIO(wave_file.read()),
+                          sr=model.hp["audio_sample_rate"])
+        body = _infer_wav(model, accelerate, wav, f_pitch_change, daw_sample)
         return send_file(io.BytesIO(body), download_name="temp.wav",
                          as_attachment=True)
 

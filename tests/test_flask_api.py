@@ -108,6 +108,59 @@ def test_streaming_mode_keeps_buffer_duration_and_continuity():
         server.shutdown()
 
 
+def test_streaming_sub_crossfade_buffers_keep_duration_and_continuity():
+    """256-1024-sample DAW blocks are BELOW the 40 ms crossfade: the
+    converter accumulates them and releases output in bursts. The
+    handler's output FIFO must still return exactly the posted duration
+    per response — all-zero responses while the stream fills (constant
+    latency <= 2 crossfades + one block), then continuous audio with no
+    mid-stream silence gaps (the concatenated tail IS the converted
+    signal, sample-contiguous)."""
+    from flask_api import make_handler, make_stream
+
+    model = FakeModel()
+    stream = make_stream(model, acc=50, fused=False,
+                         context_ms=100.0, crossfade_ms=40.0)
+    server = HTTPServer(("127.0.0.1", 0),
+                        make_handler(model, accelerate=50, stream=stream))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        sr = 8000
+        n = 100                      # << C = 320 samples @ 40 ms
+        k_bufs = 20
+        # cos: nonzero at t=0, so the leading-zero count IS the latency
+        x = (0.4 * np.cos(2 * np.pi * 220 * np.arange(k_bufs * n) / sr)
+             ).astype(np.float32)
+        got = []
+        for k in range(k_bufs):
+            buf = io.BytesIO()
+            wavfile.write(buf, sr,
+                          (x[k * n:(k + 1) * n] * 32767).astype(np.int16))
+            body, ctype = _multipart(
+                {"fPitchChange": "0", "sampleRate": str(sr)}, buf.getvalue())
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/voiceChangeModel", data=body,
+                headers={"Content-Type": ctype}, method="POST")
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                out_sr, out = wavfile.read(io.BytesIO(resp.read()))
+            assert out_sr == sr
+            assert len(out) == n     # duration contract holds per buffer
+            got.append(out.astype(np.float32) / 32767.0)
+        y = np.concatenate(got)
+        nz = np.nonzero(y)[0]
+        assert len(nz), "stream never released any audio"
+        d = nz[0]                    # constant fill latency
+        C = stream.C
+        assert d <= 2 * C + n, f"fill latency {d} > 2 crossfades + block"
+        # after the fill, the stream is gapless: the tail is the converted
+        # (0.5x) signal from t=0, delayed by d, up to int16 round trips
+        np.testing.assert_allclose(y[d:], 0.5 * x[: len(y) - d], atol=2e-4)
+    finally:
+        server.shutdown()
+
+
 def test_streaming_idle_reset_restarts_the_stream():
     """A request gap longer than idle_reset_s flushes the held tail and
     context (a paused DAW): both buffers around the gap are served as
@@ -239,5 +292,34 @@ def test_malformed_uploads_return_clean_http_errors():
         body, ctype = _multipart({"fPitchChange": "1", "sampleRate": "8000"},
                                  good)
         assert _post(port, body, ctype) == 200
+    finally:
+        server.shutdown()
+
+
+def test_server_side_failures_are_500_not_400():
+    """A valid upload that hits a genuine server bug (KeyError/ValueError
+    raised INSIDE the pipeline, e.g. a missing hp key) must surface as
+    500, not be misclassified as a 'bad wav upload' client error —
+    decode and inference are separate try blocks in the handler."""
+
+    class BrokenModel:
+        hp = {"audio_sample_rate": 8000, "hop_size": 64}
+
+        def infer(self, input_wav, key, acc, use_pe, use_crepe):
+            raise KeyError("residual_channels")  # server-side defect
+
+    server = HTTPServer(("127.0.0.1", 0),
+                        make_handler(BrokenModel(), accelerate=50))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        sr = 8000
+        wav = 0.1 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+        buf = io.BytesIO()
+        wavfile.write(buf, sr, (wav * 32767).astype(np.int16))
+        body, ctype = _multipart({"fPitchChange": "0", "sampleRate": "8000"},
+                                 buf.getvalue())
+        assert _post(port, body, ctype) == 500
     finally:
         server.shutdown()

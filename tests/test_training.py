@@ -145,6 +145,26 @@ def test_train_step_on_mesh(binarized):
     assert 0.5 < losses[0] < 2.0
 
 
+def test_meshless_task_clears_declared_train_mesh(binarized):
+    """A mesh-less task must CLEAR the pallas-train mesh a previous task
+    in the same process declared — otherwise its traces would shard_map
+    the fused kernel over devices it never asked for (the declaration is
+    read at trace time, models/diffnet._shardable_data_mesh)."""
+    tmp, hp = binarized
+    from diffsvc_tpu.models import diffnet
+    from diffsvc_tpu.parallel import mesh as mesh_lib
+
+    prev = diffnet.set_train_mesh(None)
+    try:
+        mesh = mesh_lib.make_mesh(("data",))
+        SVCTask(hp, mesh=mesh)._make_train_step()
+        assert diffnet._TRAIN_MESH is mesh
+        SVCTask(hp)._make_train_step()
+        assert diffnet._TRAIN_MESH is None
+    finally:
+        diffnet.set_train_mesh(prev)
+
+
 def test_train_matmul_precision_hparam(binarized):
     """train_matmul_precision plumbs through to the jitted step (loss matches
     the default on CPU, where every precision lowers to fp32)."""

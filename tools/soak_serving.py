@@ -194,10 +194,17 @@ def main():
     ap.add_argument("--keys", default="-5,0,3,12")
     ap.add_argument("--concurrency", type=int, default=2)
     ap.add_argument("--port", type=int, default=16842)
-    ap.add_argument("--out", default=os.path.join(REPO, "runs/soak_serving"))
+    ap.add_argument("--out", default=None,
+                    help="output dir (default: runs/soak_serving, or "
+                         "runs/soak_serving_smoke with --smoke — the CPU "
+                         "smoke must never clobber a committed TPU artifact)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny dims on CPU, seconds-long legs")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = os.path.join(
+            REPO, "runs/soak_serving_smoke" if args.smoke
+            else "runs/soak_serving")
 
     if args.smoke:
         import jax
