@@ -33,6 +33,7 @@ class DiffNetConfig(NamedTuple):
     remat: bool = False         # rematerialize each dilation cycle in bwd
     pallas_stack: str = "auto"  # auto/on (TPU bf16 inference) | off | interpret (CPU tests)
     pallas_train: str = "auto"  # fused fwd+bwd training kernel: auto/on (TPU) | off | interpret
+    train_stream: str = "bf16"  # stream dtype of the fused train kernel: bf16 | f32
 
     @classmethod
     def from_hparams(cls, hp):
@@ -45,6 +46,7 @@ class DiffNetConfig(NamedTuple):
             remat=bool(hp.get("use_remat", False)),
             pallas_stack=str(hp.get("diffnet_pallas", "auto")),
             pallas_train=str(hp.get("diffnet_pallas_train", "auto")),
+            train_stream=str(hp.get("diffnet_train_stream_dtype", "bf16")),
         )
 
 
@@ -226,10 +228,19 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
         # like the scan path's GSPMD all-reduce. Seq-sharded meshes keep
         # the halo-exchange scan below.
         mesh = _shardable_data_mesh(b)
+        n_dp = mesh.shape["data"] if mesh is not None else 1
         want = (tmode == "interpret"
                 or (jax.default_backend() == "tpu"
                     and (len(jax.devices()) == 1 or mesh is not None)))
-        if want and _stack.supported_train(n_layers, cycle, t_len, c):
+        # prefer the batch-fused backward (weights stream once per layer,
+        # weight grads accumulate in VMEM — ~2x the vmapped backward at
+        # prod dims, runs/train_decompose); fall back to the vmapped
+        # per-sample kernel when the [B_local, T, C] dx carry won't fit
+        esz = 2 if cfg.train_stream == "bf16" else 4
+        ok_batched = _stack.supported_train_batched(
+            n_layers, cycle, t_len, c, max(1, b // n_dp), stream_esize=esz)
+        if want and (ok_batched or _stack.supported_train(
+                n_layers, cycle, t_len, c)):
             dp = params["layers"]["diffusion_projection"]
             sb = (jnp.einsum("bc,lcd->lbd", step, dp["w"])
                   + dp["b"][:, None, :]).astype(x.dtype)   # [L, B, C]
@@ -239,12 +250,18 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
             bo = params["layers"]["output_projection"]["b"]
             interp = tmode == "interpret"
 
-            def stack_fn(x_s, sb_s, cp_s, wd_, bd_, wo_, bo_):
-                def one(x1, sb1, cp1):
-                    return _stack.residual_stack_train(
-                        x1, sb1, cp1, wd_, bd_, wo_, bo_, cycle, interp)
+            if ok_batched:
+                def stack_fn(x_s, sb_s, cp_s, wd_, bd_, wo_, bo_):
+                    return _stack.residual_stack_train_batched(
+                        x_s, sb_s, cp_s, wd_, bd_, wo_, bo_, cycle,
+                        interp, cfg.train_stream)
+            else:
+                def stack_fn(x_s, sb_s, cp_s, wd_, bd_, wo_, bo_):
+                    def one(x1, sb1, cp1):
+                        return _stack.residual_stack_train(
+                            x1, sb1, cp1, wd_, bd_, wo_, bo_, cycle, interp)
 
-                return jax.vmap(one, in_axes=(0, 1, 1))(x_s, sb_s, cp_s)
+                    return jax.vmap(one, in_axes=(0, 1, 1))(x_s, sb_s, cp_s)
 
             if mesh is not None:
                 from jax.sharding import PartitionSpec as P

@@ -185,9 +185,15 @@ def _fwd_kernel(x0_ref, sb_ref, cond_ref, wd_ref, bd_ref, wo_ref, bo_ref,
                 out_ref, xsave_ref, x_ref, skip_ref, *, n_layers: int,
                 cycle: int, t: int, c: int):
     """Inference kernel + an [L, T, C] stack of each layer's input x_l
-    (the only residual needed: z/gates are recomputed in the backward)."""
+    (the only residual needed: z/gates are recomputed in the backward).
+
+    Matmul operands take the dtype of the streamed weights (``wd_ref``):
+    Mosaic's MXU rounds f32 operands to bf16 anyway, so streaming the
+    weights/conditioner as bf16 halves their HBM traffic at identical
+    matmul numerics; the carried residual state stays in ``x0``'s dtype."""
     l = pl.program_id(0)
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    cd = wd_ref.dtype  # compute/stream dtype for the MXU operands
 
     @pl.when(l == 0)
     def _init():
@@ -195,15 +201,15 @@ def _fwd_kernel(x0_ref, sb_ref, cond_ref, wd_ref, bd_ref, wo_ref, bo_ref,
         skip_ref[:] = jnp.zeros((t, c), jnp.float32)
 
     x = x_ref[:]
-    xsave_ref[0] = x
+    xsave_ref[0] = x.astype(xsave_ref.dtype)
     y32 = x.astype(jnp.float32) + sb_ref[0, 0].astype(jnp.float32)
-    y = y32.astype(x.dtype)
+    y = y32.astype(cd)
     row = jax.lax.broadcasted_iota(jnp.int32, (t, c), 0)
 
     def _taps(d):
         def f():
-            yl = jnp.where(row >= d, _roll(y32, d), 0).astype(x.dtype)
-            yr = jnp.where(row < t - d, _roll(y32, -d), 0).astype(x.dtype)
+            yl = jnp.where(row >= d, _roll(y32, d), 0).astype(cd)
+            yr = jnp.where(row < t - d, _roll(y32, -d), 0).astype(cd)
             return yl, yr
         return f
 
@@ -214,7 +220,7 @@ def _fwd_kernel(x0_ref, sb_ref, cond_ref, wd_ref, bd_ref, wo_ref, bo_ref,
     z = z + jnp.dot(y, w[1], preferred_element_type=jnp.float32)
     z = z + jnp.dot(yr, w[2], preferred_element_type=jnp.float32)
     z = z + bd_ref[0, 0].astype(jnp.float32) + cond_ref[0].astype(jnp.float32)
-    h = (jax.nn.sigmoid(z[:, :c]) * jnp.tanh(z[:, c:])).astype(x.dtype)
+    h = (jax.nn.sigmoid(z[:, :c]) * jnp.tanh(z[:, c:])).astype(cd)
     o = jnp.dot(h, wo_ref[0], preferred_element_type=jnp.float32)
     o = o + bo_ref[0, 0].astype(jnp.float32)
     x_ref[:] = ((x.astype(jnp.float32) + o[:, :c]) * inv_sqrt2).astype(x.dtype)
@@ -330,9 +336,11 @@ def _stack_args(step_bias, bd, bo):
 
 
 def _call_fwd(x0, step_bias, cond_proj, wd, bd, wo, bo, *, cycle: int,
-              interpret: bool):
+              interpret: bool, save_dtype=None):
     n_layers, t, c2 = cond_proj.shape
     c = c2 // 2
+    if save_dtype is None:
+        save_dtype = x0.dtype
     sb, bdl, bol = _stack_args(step_bias, bd, bo)
     kernel = functools.partial(_fwd_kernel, n_layers=n_layers, cycle=cycle,
                                t=t, c=c)
@@ -354,7 +362,7 @@ def _call_fwd(x0, step_bias, cond_proj, wd, bd, wo, bo, *, cycle: int,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, c), jnp.float32),
-            jax.ShapeDtypeStruct((n_layers, t, c), x0.dtype),
+            jax.ShapeDtypeStruct((n_layers, t, c), save_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((t, c), x0.dtype),
@@ -468,3 +476,277 @@ def x0_dtype(xsave):
 
 
 residual_stack_train.defvjp(_rst_fwd, _rst_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Batch-fused training backward.  The vmapped per-sample backward above
+# re-streams every layer's weights once PER SAMPLE (~2.3 GB/step at B=24
+# prod dims) and emits per-sample weight grads ([B, L, 3, C, 2C] ~ 1.7 GB)
+# that XLA then batch-sums — measured 44 ms against an 11.8 ms compute
+# floor (runs/train_decompose).  This variant runs ONE kernel over a
+# (layer, batch) grid with the batch innermost:
+#   * weight blocks are indexed by layer only, so Mosaic fetches them once
+#     per layer and reuses them across the whole batch;
+#   * weight/bias grads accumulate IN the revisited output block (init at
+#     b == 0, += after; the block flushes when the layer index changes),
+#     so only the final [L, ...] grads ever touch HBM;
+#   * the per-sample reverse-mode carry dx lives in a [B, T, C] f32 VMEM
+#     scratch (the gate checks it fits);
+#   * activations/weights stream in ``stream_dtype`` (bf16 by default —
+#     identical matmul numerics, half the traffic; "f32" restores the
+#     exact legacy numerics for tight parity tests).
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel_b(xs_ref, sb_ref, cond_ref, wd_ref, bd_ref, wo_ref, bo_ref,
+                  dout_ref,
+                  dx0_ref, dsb_ref, dcp_ref, dwd_ref, dbd_ref, dwo_ref,
+                  dbo_ref, dx_state, *, n_layers: int, n_batch: int,
+                  cycle: int, t: int, c: int):
+    """Grid (i, b): i walks layers in reverse (l = L-1-i), b is the sample."""
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    cd = wd_ref.dtype
+
+    @pl.when(i == 0)
+    def _init():
+        dx_state[pl.ds(b, 1)] = jnp.zeros((1, t, c), jnp.float32)
+
+    x = xs_ref[0, 0]
+    y32 = x.astype(jnp.float32) + sb_ref[0, 0, 0].astype(jnp.float32)
+    y = y32.astype(cd)
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, c), 0)
+    l = n_layers - 1 - i
+
+    def _taps(d):
+        def f():
+            yl = jnp.where(row >= d, _roll(y32, d), 0).astype(cd)
+            yr = jnp.where(row < t - d, _roll(y32, -d), 0).astype(cd)
+            return yl, yr
+        return f
+
+    yl, yr = jax.lax.switch(jax.lax.rem(l, cycle),
+                            [_taps(2 ** j) for j in range(cycle)])
+    w = wd_ref[0]
+    z = jnp.dot(yl, w[0], preferred_element_type=jnp.float32)
+    z = z + jnp.dot(y, w[1], preferred_element_type=jnp.float32)
+    z = z + jnp.dot(yr, w[2], preferred_element_type=jnp.float32)
+    z = z + bd_ref[0, 0].astype(jnp.float32) + cond_ref[0, 0].astype(jnp.float32)
+    s = jax.nn.sigmoid(z[:, :c])
+    tf = jnp.tanh(z[:, c:])
+    h = (s * tf).astype(cd)
+
+    dx_next = dx_state[pl.ds(b, 1)][0]
+    do = jnp.concatenate([dx_next * inv_sqrt2,
+                          dout_ref[0].astype(jnp.float32)], axis=1)
+    do_c = do.astype(cd)
+    dwo = jax.lax.dot_general(h, do_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dbo = do.sum(axis=0)
+
+    @pl.when(b == 0)
+    def _wo_init():
+        dwo_ref[0] = dwo
+        dbo_ref[0, 0] = dbo
+
+    @pl.when(b > 0)
+    def _wo_acc():
+        dwo_ref[0] = dwo_ref[0] + dwo
+        dbo_ref[0, 0] = dbo_ref[0, 0] + dbo
+
+    dh = jnp.dot(do_c, wo_ref[0].T, preferred_element_type=jnp.float32)
+    dg = dh * s * (1.0 - s) * tf
+    df = dh * s * (1.0 - tf * tf)
+    dz = jnp.concatenate([dg, df], axis=1)
+    dz_c = dz.astype(cd)
+    dcp_ref[0, 0] = dz.astype(dcp_ref.dtype)
+    dbd = dz.sum(axis=0)
+
+    dw0 = jax.lax.dot_general(yl, dz_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dw1 = jax.lax.dot_general(y, dz_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(yr, dz_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dwd = jnp.stack([dw0, dw1, dw2])
+
+    @pl.when(b == 0)
+    def _wd_init():
+        dwd_ref[0] = dwd
+        dbd_ref[0, 0] = dbd
+
+    @pl.when(b > 0)
+    def _wd_acc():
+        dwd_ref[0] = dwd_ref[0] + dwd
+        dbd_ref[0, 0] = dbd_ref[0, 0] + dbd
+
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * c), 0)
+
+    def _btaps2(d):
+        def f():
+            zl = jnp.where(row2 < t - d, _roll(dz, -d), 0).astype(cd)
+            zr = jnp.where(row2 >= d, _roll(dz, d), 0).astype(cd)
+            return zl, zr
+        return f
+
+    zl, zr = jax.lax.switch(jax.lax.rem(l, cycle),
+                            [_btaps2(2 ** j) for j in range(cycle)])
+    dy = jnp.dot(zl, w[0].T, preferred_element_type=jnp.float32)
+    dy = dy + jnp.dot(dz_c, w[1].T, preferred_element_type=jnp.float32)
+    dy = dy + jnp.dot(zr, w[2].T, preferred_element_type=jnp.float32)
+
+    dsb_ref[0, 0, 0] = dy.sum(axis=0)
+    dx = dy + dx_next * inv_sqrt2
+    dx_state[pl.ds(b, 1)] = dx[None]
+    # the (b) output block flushes every step; the last visit (i = L-1)
+    # lands last in HBM, so writing the running carry each time is correct
+    dx0_ref[0] = dx
+
+
+def _call_bwd_batched(xsave, step_bias, cond_proj, wd, bd, wo, bo, dout, *,
+                      cycle: int, interpret: bool):
+    """xsave [B, L, T, C]; step_bias [L, B, C]; cond_proj [L, B, T, 2C];
+    dout [B, T, C] (already in the stream dtype).  Returns
+    (dx0 [B,T,C] f32, dsb [L,B,C] f32, dcp [L,B,T,2C] stream-dtype,
+    dwd/dbd/dwo/dbo batch-summed f32)."""
+    n_layers, n_batch, t, c2 = cond_proj.shape
+    c = c2 // 2
+    sb = step_bias[:, :, None, :]                       # [L, B, 1, C]
+    bdl = bd[:, None, :]
+    bol = bo[:, None, :]
+    kernel = functools.partial(_bwd_kernel_b, n_layers=n_layers,
+                               n_batch=n_batch, cycle=cycle, t=t, c=c)
+    rev = lambda i, b: (n_layers - 1 - i, b, 0, 0)
+    revw = lambda i, b: (n_layers - 1 - i, 0, 0, 0)
+    rev3 = lambda i, b: (n_layers - 1 - i, 0, 0)
+    bidx = lambda i, b: (b, 0, 0)
+    dx0, dsb, dcp, dwd, dbd, dwo, dbo = pl.pallas_call(
+        kernel,
+        grid=(n_layers, n_batch),
+        in_specs=[
+            pl.BlockSpec((1, 1, t, c), lambda i, b: (b, n_layers - 1 - i, 0, 0)),  # xsave
+            pl.BlockSpec((1, 1, 1, c), rev),              # step_bias
+            pl.BlockSpec((1, 1, t, 2 * c), rev),          # cond_proj
+            pl.BlockSpec((1, 3, c, 2 * c), revw),         # wd
+            pl.BlockSpec((1, 1, 2 * c), rev3),            # bd
+            pl.BlockSpec((1, c, 2 * c), rev3),            # wo
+            pl.BlockSpec((1, 1, 2 * c), rev3),            # bo
+            pl.BlockSpec((1, t, c), bidx),                # dout
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, c), bidx),                # dx0
+            pl.BlockSpec((1, 1, 1, c), rev),              # dsb
+            pl.BlockSpec((1, 1, t, 2 * c), rev),          # dcp
+            pl.BlockSpec((1, 3, c, 2 * c), revw),         # dwd (accum over b)
+            pl.BlockSpec((1, 1, 2 * c), rev3),            # dbd (accum over b)
+            pl.BlockSpec((1, c, 2 * c), rev3),            # dwo (accum over b)
+            pl.BlockSpec((1, 1, 2 * c), rev3),            # dbo (accum over b)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_batch, t, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, n_batch, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, n_batch, t, 2 * c), cond_proj.dtype),
+            jax.ShapeDtypeStruct((n_layers, 3, c, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, 1, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, c, 2 * c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, 1, 2 * c), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n_batch, t, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(xsave, sb, cond_proj, wd, bdl, wo, bol, dout)
+    return dx0, dsb[:, :, 0], dcp, dwd, dbd[:, 0], dwo, dbo[:, 0]
+
+
+def supported_train_batched(n_layers: int, cycle: int, t: int, c: int,
+                            batch: int, stream_esize: int = 2,
+                            vmem_budget: int = 60 * 2**20) -> bool:
+    """Gate for the batch-fused backward: standard shape rules plus the
+    [B, T, C] f32 dx carry must fit VMEM next to the double-buffered
+    streams.  Mosaic's stack temporaries for this kernel measured ~30 MB
+    at prod dims (an f32-stream B=24 ask of 71 MB by this accounting
+    actually allocated 100.5 MB), so the budget leaves 40 MB of the
+    100 MB ``VMEM_LIMIT`` for them."""
+    if not (PALLAS_OK and batch >= 1 and c % 128 == 0 and t % 128 == 0
+            and cycle >= 1 and n_layers % cycle == 0):
+        return False
+    if 2 ** (cycle - 1) >= t:
+        return False
+    e = stream_esize
+    streams = 2 * (t * c * e          # xsave
+                   + t * 2 * c * e    # cond
+                   + 3 * c * 2 * c * e + c * 2 * c * e   # wd, wo
+                   + t * c * e        # dout
+                   + t * 2 * c * e    # dcp out
+                   + t * c * 4)       # dx0 out
+    accum = (3 * c * 2 * c + c * 2 * c + 4 * 2 * c) * 4  # dwd/dwo/dbd/dbo
+    resident = batch * t * c * 4                          # dx carry
+    return streams + accum + resident <= vmem_budget
+
+
+def _sd(stream_dtype: str, x0):
+    return jnp.bfloat16 if stream_dtype == "bf16" else x0.dtype
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def residual_stack_train_batched(x0, step_bias, cond_proj, wd, bd, wo, bo,
+                                 cycle: int, interpret: bool = False,
+                                 stream_dtype: str = "bf16"):
+    """Differentiable fused residual stack over a whole batch.
+
+    x0 [B, T, C]; step_bias [L, B, C]; cond_proj [L, B, T, 2C]; weights as
+    in :func:`residual_stack`.  Forward is the vmapped per-sample kernel
+    (weights stream per sample but overlap with compute); backward is ONE
+    (layer, batch)-grid kernel that accumulates the weight grads in VMEM.
+
+    ``stream_dtype="bf16"`` (default) streams weights/conditioner/saved
+    activations/cotangents as bf16: matmul numerics are IDENTICAL (the MXU
+    rounds f32 operands to bf16 either way — see ``supported``); only the
+    additive conditioner term and the recomputed-gate rounding differ from
+    the f32-stream path, which ``stream_dtype="f32"`` restores exactly."""
+    sd = _sd(stream_dtype, x0)
+    wd16, wo16 = wd.astype(sd), wo.astype(sd)
+    cond16 = cond_proj.astype(sd)
+    return jax.vmap(
+        lambda x1, sb1, cp1: residual_stack(
+            x1, sb1, cp1, wd16, bd, wo16, bo, cycle=cycle,
+            interpret=interpret),
+        in_axes=(0, 1, 1))(x0, step_bias, cond16)
+
+
+def _rstb_fwd(x0, step_bias, cond_proj, wd, bd, wo, bo, cycle, interpret,
+              stream_dtype):
+    sd = _sd(stream_dtype, x0)
+    wd16, wo16 = wd.astype(sd), wo.astype(sd)
+    cond16 = cond_proj.astype(sd)
+    out, xsave = jax.vmap(
+        lambda x1, sb1, cp1: _call_fwd(
+            x1, sb1, cp1, wd16, bd, wo16, bo, cycle=cycle,
+            interpret=interpret, save_dtype=sd),
+        in_axes=(0, 1, 1))(x0, step_bias, cond16)
+    # zero-size sentinels carry the PRIMAL dtypes to the bwd (cotangents
+    # must match them; dtype objects themselves are not valid residual
+    # pytree leaves)
+    return out, (xsave, step_bias, cond16, wd16, bd, wo16, bo,
+                 jnp.zeros((), x0.dtype), jnp.zeros((), cond_proj.dtype),
+                 jnp.zeros((), wd.dtype), jnp.zeros((), wo.dtype))
+
+
+def _rstb_bwd(cycle, interpret, stream_dtype, res, dout):
+    (xsave, step_bias, cond16, wd16, bd, wo16, bo,
+     x0_s, cond_s, wd_s, wo_s) = res
+    sd = _sd(stream_dtype, dout)
+    dx0, dsb, dcp, dwd, dbd, dwo, dbo = _call_bwd_batched(
+        xsave, step_bias, cond16, wd16, bd, wo16, bo, dout.astype(sd),
+        cycle=cycle, interpret=interpret)
+    # cotangent dtypes must match the (f32) primals; the bf16->f32 converts
+    # are lazy and fuse into the consuming matmuls/reductions
+    return (dx0.astype(x0_s.dtype), dsb.astype(step_bias.dtype),
+            dcp.astype(cond_s.dtype), dwd.astype(wd_s.dtype),
+            dbd.astype(bd.dtype), dwo.astype(wo_s.dtype),
+            dbo.astype(bo.dtype))
+
+
+residual_stack_train_batched.defvjp(_rstb_fwd, _rstb_bwd)

@@ -99,7 +99,7 @@ def test_diffnet_apply_training_grads():
     cfg = diffnet.DiffNetConfig(
         in_dims=16, encoder_hidden=32, residual_layers=L,
         residual_channels=C, dilation_cycle_length=CYC)
-    cfg_k = cfg._replace(pallas_train="interpret")
+    cfg_k = cfg._replace(pallas_train="interpret", train_stream="f32")
     params = diffnet.init(jax.random.PRNGKey(1), cfg)
     rng = np.random.RandomState(0)
     spec = jnp.asarray(rng.randn(2, T, 16), jnp.float32)
@@ -133,7 +133,7 @@ def test_diffnet_apply_training_grads_shard_map():
     cfg = diffnet.DiffNetConfig(
         in_dims=16, encoder_hidden=32, residual_layers=L,
         residual_channels=C, dilation_cycle_length=CYC)
-    cfg_k = cfg._replace(pallas_train="interpret")
+    cfg_k = cfg._replace(pallas_train="interpret", train_stream="f32")
     cfg_off = cfg._replace(pallas_train="off")
     params = diffnet.init(jax.random.PRNGKey(1), cfg)
     rng = np.random.RandomState(0)
@@ -198,3 +198,116 @@ def test_shardable_data_mesh_gating():
         assert diffnet._shardable_data_mesh(8) is None  # seq shards T
     finally:
         diffnet.set_train_mesh(prev)
+
+
+# ---------------------------------------------------------------------------
+# Batch-fused backward (residual_stack_train_batched): one (layer, batch)
+# grid kernel with in-VMEM weight-grad accumulation.  f32 streams must match
+# the reference tightly (same math, different reduction order over the
+# batch); bf16 streams round the conditioner addend / saved activations /
+# cotangents, so the tolerance is the bf16 epsilon scale (~4e-3 relative) —
+# matmul OPERAND rounding is identical either way (Mosaic single-pass bf16).
+# ---------------------------------------------------------------------------
+
+def _batched_args(args, B=3):
+    x0, sb, cp, wd, bd, wo, bo = args
+    ks = iter(jax.random.split(jax.random.PRNGKey(42), 6))
+    xb = jnp.stack([x0 * (0.5 + 0.3 * i) + 0.05 * i for i in range(B)])
+    sbb = jnp.stack([sb * (1.0 - 0.1 * i) for i in range(B)], axis=1)
+    cpb = jnp.stack([cp * (1.0 + 0.05 * i) for i in range(B)], axis=1)
+    return xb, sbb, cpb, wd, bd, wo, bo
+
+
+def ref_stack_batched(x0, sb, cp, wd, bd, wo, bo):
+    def one(x1, sb1, cp1):
+        return ref_stack(x1, sb1, cp1, wd, bd, wo, bo)
+
+    return jax.vmap(one, in_axes=(0, 1, 1))(x0, sb, cp)
+
+
+@pytest.mark.parametrize("sd,tol_val,tol_grad", [
+    ("f32", 2e-5, 2e-5),
+    ("bf16", 2e-2, 6e-3),
+])
+def test_batched_train_parity(args, sd, tol_val, tol_grad):
+    a = _batched_args(args)
+    got = stack.residual_stack_train_batched(*a, CYC, True, sd)
+    want = ref_stack_batched(*a)
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=tol_val, atol=tol_val * scale)
+
+    tgt = jax.random.normal(jax.random.PRNGKey(9), got.shape)
+
+    def loss_k(*aa):
+        return jnp.sum(
+            (stack.residual_stack_train_batched(*aa, CYC, True, sd) - tgt)
+            ** 2)
+
+    def loss_r(*aa):
+        return jnp.sum((ref_stack_batched(*aa) - tgt) ** 2)
+
+    lk, gk = jax.value_and_grad(loss_k, argnums=tuple(range(7)))(*a)
+    lr, gr = jax.value_and_grad(loss_r, argnums=tuple(range(7)))(*a)
+    np.testing.assert_allclose(float(lk), float(lr), rtol=tol_val)
+    names = ["dx0", "dsb", "dcp", "dwd", "dbd", "dwo", "dbo"]
+    for n, x, y in zip(names, gk, gr):
+        x, y = np.asarray(x), np.asarray(y)
+        assert x.dtype == y.dtype, n  # cotangents keep the primal dtype
+        denom = np.max(np.abs(y)) + 1e-9
+        relmax = np.max(np.abs(x - y)) / denom
+        assert relmax < tol_grad, (n, relmax)
+
+
+def test_batched_train_single_sample(args):
+    """B == 1 exercises the b==0-only accumulation path."""
+    x0, sb, cp, wd, bd, wo, bo = args
+    a = (x0[None], sb[:, None], cp[:, None], wd, bd, wo, bo)
+    got = stack.residual_stack_train_batched(*a, CYC, True, "f32")
+    want = ref_stack(x0, sb, cp, wd, bd, wo, bo)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_diffnet_apply_training_grads_bf16_stream():
+    """apply with the production bf16-stream batched kernel: loss/grads
+    track the scan within mixed-precision tolerance."""
+    cfg = diffnet.DiffNetConfig(
+        in_dims=16, encoder_hidden=32, residual_layers=L,
+        residual_channels=C, dilation_cycle_length=CYC)
+    cfg_k = cfg._replace(pallas_train="interpret")  # train_stream bf16 default
+    assert cfg_k.train_stream == "bf16"
+    params = diffnet.init(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(0)
+    spec = jnp.asarray(rng.randn(2, T, 16), jnp.float32)
+    tstep = jnp.asarray([3, 7], jnp.int32)
+    cond = jnp.asarray(rng.randn(2, T, 32) * 0.3, jnp.float32)
+    tgt = jnp.asarray(rng.randn(2, T, 16), jnp.float32)
+
+    def loss(c, p):
+        out = diffnet.apply(p, c, spec, tstep, cond)
+        return jnp.mean((out - tgt) ** 2)
+
+    l_r, g_r = jax.value_and_grad(lambda p: loss(cfg, p))(params)
+    l_k, g_k = jax.value_and_grad(lambda p: loss(cfg_k, p))(params)
+    np.testing.assert_allclose(float(l_k), float(l_r), rtol=5e-3)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_r)
+    for (path, a), b in zip(flat_r, jax.tree.leaves(g_k)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.max(np.abs(a)) + 1e-8
+        relmax = np.max(np.abs(b - a)) / denom
+        assert relmax < 3e-2, (jax.tree_util.keystr(path), relmax)
+
+
+def test_supported_train_batched_gate():
+    assert stack.supported_train_batched(20, 4, 1024, 384, 24)
+    # dx carry too large for VMEM -> fall back (B=32 bf16 is borderline
+    # once Mosaic's ~30 MB of stack temporaries are budgeted; B=24 f32
+    # measured a real 100.5 MB ask and must be rejected)
+    assert not stack.supported_train_batched(20, 4, 1024, 384, 32)
+    assert not stack.supported_train_batched(20, 4, 1024, 384, 24,
+                                             stream_esize=4)
+    assert not stack.supported_train_batched(20, 4, 1024, 384, 64)
+    # unaligned shapes
+    assert not stack.supported_train_batched(20, 4, 1000, 384, 8)
+    assert not stack.supported_train_batched(20, 4, 1024, 100, 8)

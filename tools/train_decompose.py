@@ -146,6 +146,15 @@ def main():
         lambda x1, s1, c1, wd_, bd_, wo_, bo_: stack.residual_stack_train(
             x1, s1, c1, wd_, bd_, wo_, bo_, CYC, interp))
 
+    # batched train kernel (one fused backward over the whole batch)
+    def make_grad_batched(sd):
+        def loss(xx, ss, cp, wd_, bd_, wo_, bo_):
+            out = stack.residual_stack_train_batched(
+                xx, ss, cp, wd_, bd_, wo_, bo_, CYC, interp, sd)
+            return jnp.vdot(out, dout)
+
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5, 6)))
+
     def scan_core(x1, sb1, cp1, wd_, bd_, wo_, bo_):
         # the XLA-scan residual stack at matched semantics (per sample),
         # hand-rolled with lax.scan over layers (dn.apply's scan path
@@ -177,22 +186,58 @@ def main():
 
     grad_scan = make_grad(scan_core)
 
+    # fwd with bf16 streams (the batched-VJP forward): isolates the
+    # stream-dtype effect on the per-step efficiency
+    @jax.jit
+    def fwd_bf16(x, s, cp, wd_, bd_, wo_, bo_):
+        return stack.residual_stack_train_batched(
+            x, s, cp, wd_, bd_, wo_, bo_, CYC, interp, "bf16")
+
+    # raw batched backward alone (random saved activations): splits the
+    # grad legs into their fwd/bwd parts
+    xsave_b = jnp.asarray(
+        rng.randn(B, L, T, C).astype(np.float32) * 0.3).astype(jnp.bfloat16)
+
+    @jax.jit
+    def bwd_raw(xs, s, cp, wd_, bd_, wo_, bo_, do_):
+        return stack._call_bwd_batched(
+            xs, s, cp.astype(jnp.bfloat16), wd_.astype(jnp.bfloat16), bd_,
+            wo_.astype(jnp.bfloat16), bo_, do_.astype(jnp.bfloat16),
+            cycle=CYC, interpret=interp)
+
+    # bwd FLOPs include the z/gate recompute: 3 recompute dots + dwo + dh
+    # + 3 dwd + 3 dy = 11 dots of 2*T*C*2C each per (layer, sample)
+    bwd_flops = B * L * 11 * (2 * T * C * 2 * C)
+
     legs = [
         ("stack_fwd_infer_kernel", fwd_infer, (x0, sb, cond, wd, bd, wo, bo),
          lambda o: o[0, :2, :2], fwd_flops),
         ("stack_fwd_train_kernel", fwd_train, (x0, sb, cond, wd, bd, wo, bo),
          lambda o: o[0][0, :2, :2], fwd_flops),
+        ("stack_fwd_bf16_stream", fwd_bf16, (x0, sb, cond, wd, bd, wo, bo),
+         lambda o: o[0, :2, :2], fwd_flops),
+        ("stack_bwd_batched_raw", bwd_raw,
+         (xsave_b, sb, cond, wd, bd, wo, bo, dout),
+         lambda o: o[0][0, :2, :2], bwd_flops),
         ("stack_grad_pallas", grad_pallas, (x0, sb, cond, wd, bd, wo, bo),
+         lambda o: o[0][0, :2, :2], train_flops),
+        ("stack_grad_batched_bf16", make_grad_batched("bf16"),
+         (x0, sb, cond, wd, bd, wo, bo),
          lambda o: o[0][0, :2, :2], train_flops),
         ("stack_grad_scan", grad_scan, (x0, sb, cond, wd, bd, wo, bo),
          lambda o: o[0][0, :2, :2], train_flops),
     ]
     for name, fn, a, fetch, flops in legs:
-        t0 = time.time()
-        out = fn(*a)
-        jax.block_until_ready(fetch(out))
-        log(f"| compile {name}: {time.time() - t0:.1f}s")
-        dt = time_fn(fn, a, fetch)
+        try:
+            t0 = time.time()
+            out = fn(*a)
+            jax.block_until_ready(fetch(out))
+            log(f"| compile {name}: {time.time() - t0:.1f}s")
+            dt = time_fn(fn, a, fetch)
+        except Exception as e:  # keep the sweep alive on a leg failure
+            log(f"| {name}: FAILED ({type(e).__name__}: {str(e)[:200]})")
+            results[name] = {"error": str(e)[:500]}
+            continue
         mfu = flops / dt / peak * 100
         results[name] = {"ms": round(dt * 1e3, 2),
                          "mfu_pct": round(mfu, 1)}
@@ -231,22 +276,27 @@ def main():
     for mode, name in ((("interpret" if not on_tpu else "auto"),
                         "train_step_pallas"),
                        ("off", "train_step_scan")):
-        task = SVCTask(HParams(**dict(hp0, diffnet_pallas_train=mode)))
-        state = task.init_state()
-        t0 = time.time()
-        for _ in range(2):
-            state, metrics = task.train_step(state, dict(batch), key)
-        jax.block_until_ready(metrics["loss"])
-        log(f"| compile {name}: {time.time() - t0:.1f}s")
+        try:
+            task = SVCTask(HParams(**dict(hp0, diffnet_pallas_train=mode)))
+            state = task.init_state()
+            t0 = time.time()
+            for _ in range(2):
+                state, metrics = task.train_step(state, dict(batch), key)
+            jax.block_until_ready(metrics["loss"])
+            log(f"| compile {name}: {time.time() - t0:.1f}s")
 
-        best = float("inf")
-        for _ in range(6):
-            t0 = time.perf_counter()
-            for _ in range(4):
-                # state is DONATED into the step — always thread it
-                state, m = task.train_step(state, dict(batch), key)
-            np.asarray(m["loss"])
-            best = min(best, (time.perf_counter() - t0) / 4)
+            best = float("inf")
+            for _ in range(6):
+                t0 = time.perf_counter()
+                for _ in range(4):
+                    # state is DONATED into the step — always thread it
+                    state, m = task.train_step(state, dict(batch), key)
+                np.asarray(m["loss"])
+                best = min(best, (time.perf_counter() - t0) / 4)
+        except Exception as e:
+            log(f"| {name}: FAILED ({type(e).__name__}: {str(e)[:200]})")
+            results[name] = {"error": str(e)[:500]}
+            continue
         mfu = train_flops / best / peak * 100
         results[name] = {"ms": round(best * 1e3, 2),
                          "mfu_pct_stack_only": round(mfu, 1)}
