@@ -251,6 +251,16 @@ def apply(params, cfg: DiffNetConfig, spec, diffusion_step, cond=None,
             interp = tmode == "interpret"
 
             if ok_batched:
+                if cfg.train_stream == "bf16":
+                    # hand the kernel a bf16 cond_proj directly: XLA fuses
+                    # the convert into the prepare_cond einsum epilogue, so
+                    # the [L, B, T, 2C] intermediate is never materialized
+                    # in f32 (the VJP would cast to bf16 anyway — kernel
+                    # inputs are bit-identical; the dcp cotangent comes
+                    # back bf16 and feeds matmuls that round operands to
+                    # bf16 regardless)
+                    cond_proj = cond_proj.astype(jnp.bfloat16)
+
                 def stack_fn(x_s, sb_s, cp_s, wd_, bd_, wo_, bo_):
                     return _stack.residual_stack_train_batched(
                         x_s, sb_s, cp_s, wd_, bd_, wo_, bo_, cycle,

@@ -39,19 +39,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, args, fetch, k=4, rounds=6):
-    """Median-of-min device estimate: k chained dispatches per round."""
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            out = fn(*args)
-        import numpy as np
+def time_fn(fn, args, fetch, rtt_probe, k1=2, k2=10, rounds=5):
+    """Two-point slope device estimate.  A k-dispatch chain's wall clock is
+    (tunnel overhead) + k * device_time with the overhead's split between
+    per-chain RTT and per-dispatch cost unknown a priori — so time chains
+    of k1 and k2 dispatches and take the slope
+    (minT(k2) - minT(k1)) / (k2 - k1), which cancels every k-independent
+    term.  Returns (wall_per_dispatch_at_k2, slope_device_estimate)."""
+    import numpy as np
 
-        np.asarray(fetch(out))  # tiny fetch blocks until the chain drains
-        dt = (time.perf_counter() - t0) / k
-        best = min(best, dt)
-    return best
+    def chain(k):
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                out = fn(*args)
+            np.asarray(fetch(out))  # tiny fetch drains the chain
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = chain(k1)
+    t2 = chain(k2)
+    dev = max((t2 - t1) / (k2 - k1), 1e-9)
+    return t2 / k2, dev
 
 
 def main():
@@ -79,6 +89,12 @@ def main():
 
     log(f"| device: {jax.devices()[0]}")
     on_tpu = jax.default_backend() == "tpu"
+
+    from diffsvc_tpu.utils.rtt import make_rtt_probe
+
+    rtt_probe = make_rtt_probe()
+    rtt0 = sorted(rtt_probe() for _ in range(5))[2]
+    log(f"| no-op dispatch RTT (median of 5): {rtt0 * 1e3:.1f} ms")
 
     B, T = args.batch, args.frames
     C, L, CYC, H = 384, 20, 4, 256
@@ -193,10 +209,29 @@ def main():
         return stack.residual_stack_train_batched(
             x, s, cp, wd_, bd_, wo_, bo_, CYC, interp, "bf16")
 
+    # ALL-bf16 fwd (x-state bf16 like the serving kernel), inputs
+    # pre-converted OUTSIDE the jit so conversion cost is excluded:
+    # isolates the VPU-elementwise-width hypothesis for the 37%-vs-73%
+    # train/serving kernel gap
+    bf = jnp.bfloat16
+    x0h, sbh, condh = x0.astype(bf), sb.astype(bf), cond.astype(bf)
+    wdh, woh = wd.astype(bf), wo.astype(bf)
+
+    @jax.jit
+    def fwd_allbf16(x, s, cp, wd_, bd_, wo_, bo_):
+        return vstack(functools.partial(stack.residual_stack, cycle=CYC,
+                                        interpret=interp))(
+            x, s, cp, wd_, bd_, wo_, bo_)
+
     # raw batched backward alone (random saved activations): splits the
-    # grad legs into their fwd/bwd parts
+    # grad legs into their fwd/bwd parts; bf16 operands pre-converted
     xsave_b = jnp.asarray(
         rng.randn(B, L, T, C).astype(np.float32) * 0.3).astype(jnp.bfloat16)
+
+    @jax.jit
+    def bwd_raw_pre(xs, s, cp, wd_, bd_, wo_, bo_, do_):
+        return stack._call_bwd_batched(xs, s, cp, wd_, bd_, wo_, bo_, do_,
+                                       cycle=CYC, interpret=interp)
 
     @jax.jit
     def bwd_raw(xs, s, cp, wd_, bd_, wo_, bo_, do_):
@@ -216,8 +251,14 @@ def main():
          lambda o: o[0][0, :2, :2], fwd_flops),
         ("stack_fwd_bf16_stream", fwd_bf16, (x0, sb, cond, wd, bd, wo, bo),
          lambda o: o[0, :2, :2], fwd_flops),
+        ("stack_fwd_allbf16", fwd_allbf16,
+         (x0h, sbh, condh, wdh, bd, woh, bo),
+         lambda o: o[0, :2, :2], fwd_flops),
         ("stack_bwd_batched_raw", bwd_raw,
          (xsave_b, sb, cond, wd, bd, wo, bo, dout),
+         lambda o: o[0][0, :2, :2], bwd_flops),
+        ("stack_bwd_batched_preconv", bwd_raw_pre,
+         (xsave_b, sb, condh, wdh, bd, woh, bo, dout.astype(bf)),
          lambda o: o[0][0, :2, :2], bwd_flops),
         ("stack_grad_pallas", grad_pallas, (x0, sb, cond, wd, bd, wo, bo),
          lambda o: o[0][0, :2, :2], train_flops),
@@ -233,15 +274,42 @@ def main():
             out = fn(*a)
             jax.block_until_ready(fetch(out))
             log(f"| compile {name}: {time.time() - t0:.1f}s")
-            dt = time_fn(fn, a, fetch)
+            dt_wall, dt = time_fn(fn, a, fetch, rtt_probe)
         except Exception as e:  # keep the sweep alive on a leg failure
             log(f"| {name}: FAILED ({type(e).__name__}: {str(e)[:200]})")
             results[name] = {"error": str(e)[:500]}
             continue
         mfu = flops / dt / peak * 100
         results[name] = {"ms": round(dt * 1e3, 2),
+                         "ms_wall": round(dt_wall * 1e3, 2),
                          "mfu_pct": round(mfu, 1)}
-        log(f"| {name}: {dt * 1e3:.2f} ms  ({mfu:.1f}% MFU)")
+        log(f"| {name}: {dt * 1e3:.2f} ms device-est "
+            f"({dt_wall * 1e3:.2f} wall)  ({mfu:.1f}% MFU)")
+
+    # --- REAL-HARDWARE numerics check: the batched kernel's revisited-
+    # output accumulation + dynamic-index dx carry have no interpret-mode
+    # analog of Mosaic's flush ordering — compare every gradient against
+    # the XLA scan on-device (bf16 stream tolerance)
+    try:
+        gk = make_grad_batched("bf16")(x0, sb, cond, wd, bd, wo, bo)
+        gr = grad_scan(x0, sb, cond, wd, bd, wo, bo)
+        names = ["dx0", "dsb", "dcp", "dwd", "dbd", "dwo", "dbo"]
+        parity = {}
+        worst = 0.0
+        for n, a_, b_ in zip(names, gk, gr):
+            a_, b_ = np.asarray(a_), np.asarray(b_)
+            rel = float(np.max(np.abs(a_ - b_)) / (np.max(np.abs(b_)) + 1e-9))
+            parity[n] = round(rel, 6)
+            worst = max(worst, rel)
+        results["parity_batched_vs_scan_relmax"] = parity
+        ok = worst < 2e-2
+        log(f"| on-device grad parity batched-bf16 vs scan: relmax "
+            f"{parity} -> {'OK' if ok else 'FAIL'}")
+        if not ok:
+            results["parity_FAIL"] = True
+    except Exception as e:
+        log(f"| parity check failed to run: {e}")
+        results["parity_error"] = str(e)[:300]
 
     # --- legs 1/2: the full SVC train step, pallas auto vs off
     from diffsvc_tpu.config import HParams
@@ -285,22 +353,32 @@ def main():
             jax.block_until_ready(metrics["loss"])
             log(f"| compile {name}: {time.time() - t0:.1f}s")
 
-            best = float("inf")
-            for _ in range(6):
-                t0 = time.perf_counter()
-                for _ in range(4):
-                    # state is DONATED into the step — always thread it
-                    state, m = task.train_step(state, dict(batch), key)
-                np.asarray(m["loss"])
-                best = min(best, (time.perf_counter() - t0) / 4)
+            # two-point slope, same protocol as time_fn (state is DONATED
+            # into the step — always thread it)
+            def step_chain(k):
+                nonlocal state
+                best = float("inf")
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    for _ in range(k):
+                        state, m = task.train_step(state, dict(batch), key)
+                    np.asarray(m["loss"])
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            t1c, t2c = step_chain(2), step_chain(10)
+            best_wall = t2c / 10
+            best = max((t2c - t1c) / 8, 1e-9)
         except Exception as e:
             log(f"| {name}: FAILED ({type(e).__name__}: {str(e)[:200]})")
             results[name] = {"error": str(e)[:500]}
             continue
         mfu = train_flops / best / peak * 100
         results[name] = {"ms": round(best * 1e3, 2),
+                         "ms_wall": round(best_wall * 1e3, 2),
                          "mfu_pct_stack_only": round(mfu, 1)}
-        log(f"| {name}: {best * 1e3:.2f} ms  "
+        log(f"| {name}: {best * 1e3:.2f} ms device-est "
+            f"({best_wall * 1e3:.2f} wall)  "
             f"({mfu:.1f}% MFU counting stack matmuls only)")
 
     os.makedirs(args.out, exist_ok=True)
